@@ -1,0 +1,230 @@
+"""CdcEngine — the epoch loop: binlog tail → dedup → MERGE → manifest.
+
+The Spark rebuild of the reference's per-endpoint incremental kernel
+``extract_repsly_endpoint`` (extractors/repsly/extractor.py:1359-1488):
+  gate → state snapshot → bounded scan from watermark → project →
+  verified idempotent load → advance watermark atomically.
+
+Here (SURVEY.md §3.2):
+  1. slice = changes WHERE lsn in (checkpoint, hi]        (pushed scan)
+  2. salted LWW dedup to one net op per (conv_id, turn_idx)
+  3. split upserts / deletes, project onto the evolving schema
+     (Arrow-vectorized when an evolution is in flight)
+  4. copy-on-write MERGE into the lake table — atomic snapshot commit
+     stamped with the epoch id AND the full manifest payload
+  5. finalize the checkpoint manifest (offsets, lineage, metrics)
+
+Crash between 4 and 5: ``recover()`` finds the epoch in snapshot
+summaries and finalizes the manifest from the summary without
+re-applying — the write-ahead ordering the reference implements as
+"advance watermark only after verified load"
+(extractors/repsly/extractor.py:1441-1475).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
+from etl_warehouse_agnostic_spark.lake.table import LakeTable
+from etl_warehouse_agnostic_spark.operators.dedup import lww_dedup, split_ops
+from etl_warehouse_agnostic_spark.operators.evolution import (
+    new_fields,
+    project_arrow,
+    project_columns,
+)
+from etl_warehouse_agnostic_spark.schemas import KEY_COLS, ORDER_COLS
+from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+
+# Change-envelope columns that are not table payload.
+CDC_COLS = {"op", "lsn", "schema_ver"}
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    skipped: bool
+    rows_read: int = 0
+    rows_upserted: int = 0
+    rows_deleted: int = 0
+    bytes_written: int = 0
+    wall_ms: int = 0
+    snapshot_version: int | None = None
+    offsets: dict = field(default_factory=dict)
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        checkpoints: ManifestStore,
+        key_cols: list[str] | None = None,
+        order_cols: list[str] | None = None,
+        dedup_method: str = "salted",
+        num_salts: int = 16,
+        source_partitions: int = 32,
+        arrow_projection: bool = True,
+        source_name: str = "transcripts_changes",
+        schema_registry: dict[int, list[str]] | None = None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.checkpoints = checkpoints
+        self.key_cols = key_cols or KEY_COLS
+        self.order_cols = order_cols or ORDER_COLS
+        self.dedup_method = dedup_method
+        self.num_salts = num_salts
+        self.source_partitions = source_partitions
+        self.arrow_projection = arrow_projection
+        self.source_name = source_name
+        # Debezium-style writer-schema registry: schema_ver → payload
+        # column names. When set, a slice only carries (and can only
+        # evolve to) the columns of the max writer schema it contains —
+        # physical storage of the change log may hold the union schema.
+        self.schema_registry = schema_registry
+
+    # ---------------- recovery (T2) ----------------
+
+    def recover(self) -> list[int]:
+        """Finalize manifests for epochs whose MERGE committed but whose
+        manifest write was lost (crash window). Returns healed epochs."""
+        healed = []
+        for epoch in self.table.committed_epochs():
+            if not self.checkpoints.is_finalized(epoch):
+                snap = self.table.epoch_snapshot(epoch)
+                if snap is None:
+                    continue
+                manifest = snap["summary"].get("manifest")
+                if manifest is not None:
+                    self.checkpoints.finalize(epoch, manifest)
+                    healed.append(epoch)
+        return healed
+
+    # ---------------- one epoch ----------------
+
+    def _partition_of(self) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(self.key_cols[0])), F.lit(self.source_partitions)).cast("int")
+
+    def apply_epoch(
+        self,
+        changes: DataFrame,
+        epoch: int,
+        lsn_range: tuple[int, int] | None = None,
+    ) -> EpochResult:
+        t0 = time.monotonic()
+        if self.checkpoints.is_finalized(epoch):
+            return EpochResult(epoch=epoch, skipped=True)
+        if self.table.epoch_committed(epoch):
+            self.recover()
+            return EpochResult(epoch=epoch, skipped=True)
+
+        # One distributed pass for offsets + counts over the slice.
+        sv_agg = (
+            F.max("schema_ver") if "schema_ver" in changes.columns else F.max(F.lit(1))
+        ).alias("sv")
+        stats = (
+            changes.groupBy(self._partition_of().alias("pid"))
+            .agg(F.max("lsn").alias("max_lsn"), F.min("lsn").alias("min_lsn"),
+                 F.count(F.lit(1)).alias("rows"), sv_agg)
+            .collect()
+        )
+        rows_read = sum(r["rows"] for r in stats)
+        offsets = {str(r["pid"]): {"max_lsn": int(r["max_lsn"]), "rows": int(r["rows"])} for r in stats}
+        schema_ver_max = max((int(r["sv"]) for r in stats), default=1)
+        if lsn_range is None:
+            lo = min((int(r["min_lsn"]) for r in stats), default=0)
+            hi = max((int(r["max_lsn"]) for r in stats), default=0)
+            lsn_range = (lo, hi)
+
+        # Writer-schema resolution: with a registry, the slice's payload
+        # is the max writer schema it actually contains; without one,
+        # whatever columns the batch physically carries.
+        if self.schema_registry is not None:
+            payload_cols = self.schema_registry[schema_ver_max]
+            keep = [c for c in changes.columns if c in CDC_COLS or c in self.key_cols]
+            changes = changes.select(*keep, *[c for c in payload_cols if c not in keep])
+
+        # Add-only schema evolution: payload columns in this batch that
+        # the table doesn't know yet become ADD COLUMNs before apply.
+        added = new_fields(changes, self.table.schema, passthrough=CDC_COLS)
+        schema = self.table.evolve_schema(added) if added else self.table.schema
+
+        deduped = lww_dedup(
+            changes, self.key_cols, self.order_cols,
+            method=self.dedup_method, num_salts=self.num_salts,
+        ).persist()
+        try:
+            upserts, deletes = split_ops(deduped)
+            n_up = upserts.count()
+            n_del = deletes.count()
+            payload = project_arrow(upserts, schema) if (added and self.arrow_projection) \
+                else project_columns(upserts, schema)
+            delete_keys = deletes.select(*self.key_cols)
+
+            manifest = {
+                "epoch": epoch,
+                "offsets": offsets,
+                "metrics": {
+                    "rows_read": rows_read,
+                    "rows_upserted": n_up,
+                    "rows_deleted": n_del,
+                    "bytes_written": 0,  # patched post-merge
+                    "wall_ms": 0,
+                },
+                "lineage": {
+                    "source": self.source_name,
+                    "lsn_range": list(lsn_range),
+                    "schema_ver_max": schema_ver_max,
+                    "added_columns": [f.name for f in added],
+                },
+            }
+            res = self.table.merge(
+                payload, delete_keys, epoch_id=epoch,
+                extra_summary={"manifest": manifest},
+            )
+        finally:
+            deduped.unpersist()
+
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        manifest["metrics"]["bytes_written"] = res.bytes_written
+        manifest["metrics"]["wall_ms"] = wall_ms
+        manifest["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        manifest["snapshot_version"] = res.version
+        self.checkpoints.finalize(epoch, manifest)
+        return EpochResult(
+            epoch=epoch, skipped=res.skipped, rows_read=rows_read,
+            rows_upserted=n_up, rows_deleted=n_del,
+            bytes_written=res.bytes_written, wall_ms=wall_ms,
+            snapshot_version=res.version, offsets=offsets,
+        )
+
+    # ---------------- the tail loop ----------------
+
+    def run(
+        self,
+        source: ChangeStreamSource,
+        epoch_size: int,
+        max_epochs: int | None = None,
+        lookback: int = 0,
+    ) -> list[EpochResult]:
+        """Tail the change stream from the last checkpoint in epochs of
+        ``epoch_size`` LSNs. Lookback re-reads are deduped away (P6)."""
+        self.recover()
+        results = []
+        hi_water = self.checkpoints.high_water_lsn()
+        source_max = source.max_lsn()
+        epoch = (self.checkpoints.last_epoch() or 0) + 1
+        while hi_water < source_max:
+            if max_epochs is not None and len(results) >= max_epochs:
+                break
+            hi = min(hi_water + epoch_size, source_max)
+            slice_df = source.read_slice(hi_water, hi, lookback=lookback)
+            results.append(self.apply_epoch(slice_df, epoch, lsn_range=(hi_water, hi)))
+            hi_water = hi
+            epoch += 1
+        return results

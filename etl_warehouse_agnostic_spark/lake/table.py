@@ -1,0 +1,369 @@
+"""Snapshot-committed lake table with copy-on-write bucket MERGE.
+
+An Iceberg-shaped table format implemented from scratch on parquet +
+JSON snapshots, because no Iceberg runtime jar ships in this sandbox.
+The semantics mirror Iceberg v2 copy-on-write:
+
+- **Atomic commits**: a snapshot is a JSON file ``_meta/v<N>.json``
+  created with ``os.link`` (fails if the version exists → optimistic
+  concurrency, like Iceberg's metadata swap). Readers always see a
+  complete snapshot or the previous one, never a torn state.
+- **Bucketed layout**: data files are grouped by
+  ``bucket = pmod(xxhash64(conv_id), num_buckets)`` (Iceberg's
+  ``bucket(N, conv_id)`` transform). A MERGE rewrites only the buckets
+  that contain changed keys — at 10^10 rows with 4096 buckets an epoch
+  touching 1% of conversations rewrites ~1% of the table.
+- **Schema evolution**: each snapshot carries its schema; columns are
+  add-only (reference analog: ``ALTER TABLE ADD COLUMN`` per new
+  DataFrame column, extractors/leaflink/extractor.py:1053-1082). Old
+  files are read through the evolved schema; missing columns read as
+  NULL (same as Iceberg column-id projection for add-only evolution).
+- **Exactly-once**: every MERGE commit stamps the epoch id into the
+  snapshot summary; committed epoch ids are carried forward so a
+  replayed epoch is detected as a no-op (reference analog: the
+  duplicate-batch check on ``_extracted_at``,
+  extractors/repsly/extractor.py:703-718).
+- **Time travel**: ``read(version=k)`` reads any retained snapshot —
+  the basis for replay-from-checkpoint convergence tests.
+
+On a deployment with a real Iceberg catalog, this class is the swap
+point: ``merge()`` becomes ``MERGE INTO t USING s ON t.conv_id =
+s.conv_id AND t.turn_idx = s.turn_idx WHEN MATCHED ... `` and the
+snapshot summary check becomes Iceberg's snapshot-summary lookup. The
+engine above it (dedup, epoch loop, manifests) is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_warehouse_agnostic_spark.functions.scalars import bucket_of
+
+_BUCKET = "_bucket"  # physical layout column kept in data files
+_PB = "_pb"  # throwaway copy used only for partitionBy at write time
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first (optimistic lock)."""
+
+
+@dataclass
+class MergeResult:
+    version: int
+    epoch_id: int | None
+    rows_written: int
+    bytes_written: int
+    buckets_rewritten: int
+    skipped: bool = False
+
+
+def _atomic_write_json(payload: dict, final_path: str) -> None:
+    """tmp + fsync + hard-link publish (fails if final exists).
+
+    Reference analog: watermark state atomic persistence — tmp write +
+    fsync + md5 + rename (extractors/repsly/extractor.py:432-481)."""
+    d = os.path.dirname(final_path)
+    tmp = os.path.join(d, f"_tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, default=str)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, final_path)
+    except FileExistsError as e:
+        raise CommitConflict(final_path) from e
+    finally:
+        os.unlink(tmp)
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.meta_dir = os.path.join(self.path, "_meta")
+        self.data_dir = os.path.join(self.path, "data")
+
+    # ---------------- snapshot bookkeeping ----------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        num_buckets: int = 64,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        snap = {
+            "version": 1,
+            "parent": None,
+            "schema": schema.jsonValue(),
+            "key_cols": key_cols,
+            "num_buckets": num_buckets,
+            "files": {},  # bucket(str) -> [relpath, ...]
+            "committed_epochs": [],
+            "summary": {"operation": "create"},
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        _atomic_write_json(snap, os.path.join(t.meta_dir, "v00000001.json"))
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        if t.latest_version() is None:
+            raise FileNotFoundError(f"no lake table at {path}")
+        return t
+
+    def latest_version(self) -> int | None:
+        if not os.path.isdir(self.meta_dir):
+            return None
+        versions = [
+            int(f[1:9])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def snapshot(self, version: int | None = None) -> dict[str, Any]:
+        v = version if version is not None else self.latest_version()
+        with open(os.path.join(self.meta_dir, f"v{v:08d}.json")) as f:
+            return json.load(f)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.snapshot()["schema"])
+
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self.snapshot()["key_cols"])
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.snapshot()["num_buckets"])
+
+    def committed_epochs(self) -> list[int]:
+        return list(self.snapshot().get("committed_epochs", []))
+
+    def epoch_committed(self, epoch_id: int) -> bool:
+        return epoch_id in self.snapshot().get("committed_epochs", [])
+
+    def epoch_snapshot(self, epoch_id: int) -> dict | None:
+        """Snapshot whose commit carried this epoch (recovery scan)."""
+        v = self.latest_version()
+        while v is not None:
+            snap = self.snapshot(v)
+            if snap["summary"].get("epoch_id") == epoch_id:
+                return snap
+            v = snap["parent"]
+        return None
+
+    # ---------------- read ----------------
+
+    def _read_files(self, snap: dict, buckets: list[int] | None = None) -> DataFrame:
+        schema = T.StructType.fromJson(snap["schema"]).add(_BUCKET, T.IntegerType())
+        files = []
+        for b, paths in snap["files"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(os.path.join(self.path, p) for p in paths)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # Explicit file list = manual partition pruning from snapshot
+        # metadata (bucket -> files); add-only schema evolution works
+        # because parquet fills columns absent from a file with NULL.
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Current (or time-travel) table state; optionally pruned to a
+        bucket subset."""
+        snap = self.snapshot(version)
+        return self._read_files(snap, buckets).drop(_BUCKET)
+
+    # ---------------- write paths ----------------
+
+    def _write_epoch_files(
+        self, df: DataFrame, tag: str
+    ) -> tuple[dict[str, list[str]], int, int]:
+        """Write df (must carry _bucket) under data/<tag>/, one file set
+        per bucket via partitionBy; returns (bucket->relpaths, rows,
+        bytes). Row count comes from an Observation — no extra pass."""
+        out_dir = os.path.join(self.data_dir, tag)
+        obs = Observation(f"write-{tag}")
+        (
+            df.withColumn(_PB, F.col(_BUCKET))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+            .repartition(F.col(_BUCKET))
+            # _PB leads the sort so FileFormatWriter's required ordering
+            # (by partition cols) is already satisfied and the key sort
+            # survives into the files (min/max stats friendly).
+            .sortWithinPartitions(_PB, *self.key_cols)
+            .write.partitionBy(_PB)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        rows = int(obs.get["rows"])
+        files: dict[str, list[str]] = {}
+        nbytes = 0
+        for sub in os.listdir(out_dir):
+            if not sub.startswith(f"{_PB}="):
+                continue
+            b = sub.split("=", 1)[1]
+            for fn in os.listdir(os.path.join(out_dir, sub)):
+                if fn.endswith(".parquet"):
+                    full = os.path.join(out_dir, sub, fn)
+                    nbytes += os.path.getsize(full)
+                    files.setdefault(b, []).append(os.path.relpath(full, self.path))
+        return files, rows, nbytes
+
+    def _commit(self, snap: dict) -> int:
+        v = snap["version"]
+        _atomic_write_json(snap, os.path.join(self.meta_dir, f"v{v:08d}.json"))
+        return v
+
+    def _next_snapshot(self, parent: dict, operation: str) -> dict:
+        return {
+            "version": parent["version"] + 1,
+            "parent": parent["version"],
+            "schema": parent["schema"],
+            "key_cols": parent["key_cols"],
+            "num_buckets": parent["num_buckets"],
+            "files": dict(parent["files"]),
+            "committed_epochs": list(parent.get("committed_epochs", [])),
+            "summary": {"operation": operation},
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(_BUCKET, bucket_of(self.key_cols[0], self.num_buckets))
+
+    def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project df onto the table schema: missing columns → NULL,
+        order fixed, types cast (JVM-side; add-only evolution)."""
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        extra = [c for c in df.columns if c == _BUCKET]
+        return df.select(*cols, *extra)
+
+    def evolve_schema(self, new_columns: T.StructType | list[T.StructField]) -> T.StructType:
+        """Add-only column evolution; returns the (possibly updated)
+        schema. Commits a metadata-only snapshot when columns are new."""
+        fields = new_columns.fields if isinstance(new_columns, T.StructType) else new_columns
+        cur = self.snapshot()
+        cur_names = {f["name"] for f in cur["schema"]["fields"]}
+        added = [f for f in fields if f.name not in cur_names]
+        if not added:
+            return T.StructType.fromJson(cur["schema"])
+        snap = self._next_snapshot(cur, "evolve-schema")
+        snap["schema"] = {
+            "type": "struct",
+            "fields": cur["schema"]["fields"] + [f.jsonValue() for f in added],
+        }
+        snap["summary"]["added_columns"] = [f.name for f in added]
+        self._commit(snap)
+        return T.StructType.fromJson(snap["schema"])
+
+    def overwrite(self, df: DataFrame, epoch_id: int | None = None) -> MergeResult:
+        """Full snapshot replace (bootstrap / full refresh — reference
+        analog extractors/google_sheets/extractor.py:370-377)."""
+        cur = self.snapshot()
+        schema = T.StructType.fromJson(cur["schema"])
+        data = self._with_bucket(self._align(df, schema))
+        tag = f"e{cur['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"
+        files, rows, nbytes = self._write_epoch_files(data, tag)
+        snap = self._next_snapshot(cur, "overwrite")
+        snap["files"] = files
+        snap["summary"].update({"epoch_id": epoch_id, "rows_written": rows, "bytes_written": nbytes})
+        if epoch_id is not None:
+            snap["committed_epochs"].append(epoch_id)
+        v = self._commit(snap)
+        return MergeResult(v, epoch_id, rows, nbytes, len(files))
+
+    def merge(
+        self,
+        upserts: DataFrame,
+        delete_keys: DataFrame | None = None,
+        epoch_id: int | None = None,
+        extra_summary: dict | None = None,
+    ) -> MergeResult:
+        """Copy-on-write MERGE: last-writer-wins upsert + tombstone
+        delete keyed on ``key_cols``.
+
+        Equivalent SQL (what this compiles to on a real Iceberg
+        catalog)::
+
+            MERGE INTO target t USING changes s
+              ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+
+        Inputs must already be deduped to one row per key (the engine's
+        LWW dedup guarantees this). Only buckets containing changed keys
+        are read and rewritten; unaffected buckets' files carry over
+        into the new snapshot untouched.
+        """
+        cur = self.snapshot()
+        if epoch_id is not None and epoch_id in cur.get("committed_epochs", []):
+            return MergeResult(cur["version"], epoch_id, 0, 0, 0, skipped=True)
+        schema = T.StructType.fromJson(cur["schema"])
+        keys = cur["key_cols"]
+
+        up = self._with_bucket(self._align(upserts, schema))
+        changed_keys = up.select(*keys, _BUCKET)
+        if delete_keys is not None:
+            dk = self._with_bucket(delete_keys).select(*keys, _BUCKET)
+            changed_keys = changed_keys.unionByName(dk)
+        changed_keys = changed_keys.dropDuplicates(keys)
+
+        # Affected-bucket census — tiny (≤ num_buckets rows) collect.
+        affected = [r[0] for r in changed_keys.select(_BUCKET).distinct().collect()]
+        if not affected:
+            # Nothing to change; still record the epoch for idempotence.
+            snap = self._next_snapshot(cur, "merge")
+            snap["summary"].update({"epoch_id": epoch_id, "rows_written": 0, "bytes_written": 0})
+            if epoch_id is not None:
+                snap["committed_epochs"].append(epoch_id)
+            v = self._commit(snap)
+            return MergeResult(v, epoch_id, 0, 0, 0)
+
+        current = self._read_files(cur, buckets=affected)
+        # Survivors: existing rows in affected buckets whose key was not
+        # touched this epoch (anti = NOT EXISTS; AQE picks the physical
+        # join, broadcast when the key set is small).
+        survivors = current.join(changed_keys.select(*keys), on=keys, how="left_anti")
+        new_data = survivors.unionByName(up)
+
+        tag = f"e{cur['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"
+        files, rows, nbytes = self._write_epoch_files(new_data, tag)
+
+        snap = self._next_snapshot(cur, "merge")
+        for b in affected:
+            snap["files"].pop(str(b), None)
+        # Buckets can become empty after deletes; only written ones return.
+        snap["files"].update(files)
+        snap["summary"].update(
+            {"epoch_id": epoch_id, "rows_written": rows, "bytes_written": nbytes,
+             "buckets_rewritten": len(affected)}
+        )
+        if extra_summary:
+            snap["summary"].update(extra_summary)
+        if epoch_id is not None:
+            snap["committed_epochs"].append(epoch_id)
+        v = self._commit(snap)
+        return MergeResult(v, epoch_id, rows, nbytes, len(affected))

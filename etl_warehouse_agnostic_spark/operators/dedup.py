@@ -1,0 +1,113 @@
+"""Last-writer-wins dedup — the CDC core operator (SURVEY.md §2.5 W1).
+
+Semantics generalize the reference's silver dedup pattern
+``row_number() OVER (PARTITION BY business_key ORDER BY version DESC,
+tiebreak DESC) ... WHERE row_num = 1``
+(dbt/models/curated/repsly/client_notes.sql:15-25 and 11 siblings) and
+the engine-level ReplacingMergeTree LWW
+(airflow/dags/acumatica_dag.py:285-298).
+
+Two physical strategies, identical results:
+
+- ``lww_dedup_window``: salted repartition + row_number window. Matches
+  the north rule's wording; the explicit repartition on
+  (key-hash, salt) pre-spreads hot composite keys so the window sort
+  never sees a monster partition.
+- ``lww_dedup_salted``: two-phase ``max_by`` aggregation — a map-side
+  partial combine per (key, salt) then a final combine per key. At
+  10^10 events with a hot conv_id this shuffles a fraction of the data
+  the window variant does and never full-sorts a partition; it is the
+  default at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_warehouse_agnostic_spark.functions.scalars import salt_of
+
+
+def _order_struct(df: DataFrame, order_by: list[str]) -> Column:
+    """Composite LWW ordering key: max (lsn, ts, ...) wins.
+
+    Ties beyond the given columns are broken by a stable content hash of
+    the whole row (reference tiebreak ``record_hash DESC``,
+    dbt/models/curated/repsly/client_notes.sql:21) so dedup is
+    deterministic under replay.
+    """
+    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
+    return F.struct(*[F.col(c) for c in order_by], tiebreak.alias("_tb"))
+
+
+def lww_dedup_window(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    num_salts: int = 16,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Window-based LWW: salted repartition, then row_number()==1.
+
+    The salt participates only in the *repartition* (physical spread);
+    the window itself partitions by the natural key, so correctness is
+    independent of the salt (tested: salted == unsalted).
+    """
+    salted = df.withColumn("_salt", salt_of(*keys, num_salts=num_salts))
+    n = shuffle_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    salted = salted.repartition(int(n), *[F.col(k) for k in keys], F.col("_salt"))
+    w = Window.partitionBy(*keys).orderBy(_order_struct(df, order_by).desc())
+    return (
+        salted.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_salt")
+    )
+
+
+def lww_dedup_salted(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-phase max_by LWW (partial combine per (key, salt), final per
+    key). Equivalent to the window variant; preferred at scale because
+    phase 1 collapses hot keys before the second (tiny) shuffle and no
+    partition is ever sorted whole."""
+    payload = [c for c in df.columns if c not in keys]
+    ord_col = _order_struct(df, order_by)
+    salted = df.withColumn("_salt", salt_of(*keys, num_salts=num_salts, seed=23))
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), ord_col).alias("_p"),
+        F.max(ord_col).alias("_o"),
+    )
+    phase2 = phase1.groupBy(*keys).agg(
+        F.max_by(F.col("_p"), F.col("_o")).alias("_p")
+    )
+    return phase2.select(*keys, *[F.col(f"_p.{c}").alias(c) for c in payload])
+
+
+def lww_dedup(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    method: str = "salted",
+    num_salts: int = 16,
+) -> DataFrame:
+    if method == "window":
+        return lww_dedup_window(df, keys, order_by, num_salts=num_salts)
+    if method == "salted":
+        return lww_dedup_salted(df, keys, order_by, num_salts=num_salts)
+    raise ValueError(f"unknown dedup method {method!r}")
+
+
+def split_ops(deduped: DataFrame, op_col: str = "op") -> tuple[DataFrame, DataFrame]:
+    """Split a deduped change set into (upserts, delete_keys).
+
+    One net op per key per epoch (SURVEY.md §7.4): after LWW dedup each
+    key appears once; 'D' rows become tombstones, everything else is an
+    upsert payload.
+    """
+    upserts = deduped.where(F.col(op_col) != "D").drop(op_col)
+    deletes = deduped.where(F.col(op_col) == "D")
+    return upserts, deletes
