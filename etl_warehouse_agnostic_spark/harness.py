@@ -1,0 +1,654 @@
+"""Driver harness: one (Spark query, DuckDB oracle SQL) pair per
+implemented operator from SURVEY.md §2 plus the training-data ops.
+
+Conventions:
+- every callable takes (spark, sf_dir) and returns a DataFrame;
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates are rounded so the value-hash is engine-portable;
+- the shared change-stream derivation (``_changes``/``CHG_SQL``) turns
+  the driver's ``events`` table into a binlog-shaped CDC stream
+  (lsn, op, conv_id, turn_idx, payload) used by all CDC queries.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_warehouse_agnostic_spark.functions.scalars import (
+    parse_microsoft_json_date,
+)
+from etl_warehouse_agnostic_spark.operators import dedup_fuzzy, flatten, multimodal, similarity, text
+from etl_warehouse_agnostic_spark.operators.dedup import (
+    lww_dedup_salted,
+    lww_dedup_window,
+    split_ops,
+)
+
+# ---------------------------------------------------------------- util
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+KEYS = ["conv_id", "turn_idx"]
+ORDER = ["lsn", "ts"]
+
+# events → binlog-shaped change stream. 'error' events are deletes;
+# view/click are updates; purchase/signup are inserts.
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type").isin("view", "click"), "U")
+        .otherwise("I")
+    )
+    return e.select(
+        F.col("event_id").alias("lsn"),
+        op.alias("op"),
+        F.format_string("conv_%05d", F.col("user_id").cast("int")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(16)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.col("ts"),
+    )
+
+
+CHG_SQL = """
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type IN ('view', 'click') THEN 'U'
+              ELSE 'I' END AS op,
+         printf('conv_%05d', CAST(user_id AS INT)) AS conv_id,
+         CAST(event_id % 16 AS INT) AS turn_idx,
+         event_type AS role,
+         props AS text,
+         ts
+  FROM events
+"""
+
+LWW_SQL = f"""
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC, ts DESC) AS rn
+    FROM ({CHG_SQL})) WHERE rn = 1
+"""
+
+# ------------------------------------------------------------ CDC core
+
+def q_lww_dedup_window(spark, sf_dir):
+    """W1: salted-repartition window LWW dedup."""
+    d = lww_dedup_window(_changes(spark, sf_dir), KEYS, ORDER, num_salts=8)
+    return d.select("conv_id", "turn_idx", "op", "lsn")
+
+
+def q_lww_dedup_salted(spark, sf_dir):
+    """T8+W1: two-phase salted max_by LWW dedup (same answer)."""
+    d = lww_dedup_salted(_changes(spark, sf_dir), KEYS, ORDER, num_salts=8)
+    return d.select("conv_id", "turn_idx", "op", "lsn")
+
+
+_LWW_ORACLE = f"SELECT conv_id, turn_idx, op, lsn FROM ({LWW_SQL})"
+
+
+def q_cdc_final_state(spark, sf_dir):
+    """The replay oracle: last write per key, deletes removed (F2)."""
+    d = lww_dedup_salted(_changes(spark, sf_dir), KEYS, ORDER)
+    ups, _ = split_ops(d)
+    return ups.select("conv_id", "turn_idx", "role", "text", "lsn")
+
+
+def q_merge_upsert(spark, sf_dir):
+    """S11/J2: MERGE semantics as anti-join + union — target (even
+    lsns, deduped) merged with a change batch (odd lsns, deduped)."""
+    chg = _changes(spark, sf_dir)
+    base, _ = split_ops(lww_dedup_salted(chg.where(F.col("lsn") % 2 == 0), KEYS, ORDER))
+    delta = lww_dedup_salted(chg.where(F.col("lsn") % 2 == 1), KEYS, ORDER)
+    ups, dels = split_ops(delta)
+    changed_keys = delta.select(*KEYS)
+    survivors = base.join(changed_keys, KEYS, "left_anti")
+    merged = survivors.unionByName(ups)
+    return merged.select("conv_id", "turn_idx", "role", "lsn")
+
+
+def q_dup_batch_anti_join(spark, sf_dir):
+    """J1: duplicate-batch check — batch rows whose key is already in
+    the target are skipped (left_anti)."""
+    chg = _changes(spark, sf_dir)
+    loaded = chg.where(F.col("lsn") <= 5000)
+    batch = chg.where((F.col("lsn") > 5000) & (F.col("lsn") <= 6000))
+    fresh = batch.join(loaded.select(*KEYS).distinct(), KEYS, "left_anti")
+    return fresh.select("conv_id", "turn_idx", "lsn", "op")
+
+
+def q_watermark_offsets(spark, sf_dir):
+    """A1/T5: per-source-partition high-water marks (manifest offsets)."""
+    chg = _changes(spark, sf_dir)
+    pid = F.pmod(F.col("lsn"), F.lit(8)).cast("int")
+    return (
+        chg.groupBy(pid.alias("pid"))
+        .agg(
+            F.max("lsn").alias("max_lsn"),
+            F.min("lsn").alias("min_lsn"),
+            F.count(F.lit(1)).alias("rows"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
+def q_dq_checks(spark, sf_dir):
+    """A2–A6: rowcount / duplicate-key / null-rate / freshness census
+    per event_type (the reference's validate_extraction_integrity)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("user_id")).alias("dup_users"),
+        F.sum(F.when(F.col("value").isNull() | (F.col("value") <= 0), 1).otherwise(0)).alias("bad_value_cnt"),
+        F.max("ts").alias("freshest"),
+        F.countDistinct("user_id").alias("distinct_users"),
+    )
+
+
+def q_incremental_slice(spark, sf_dir):
+    """S1/P6/S14: bounded cursor scan `WHERE lsn in (cursor, hi]` with
+    per-op counts — one epoch's read."""
+    chg = _changes(spark, sf_dir).where((F.col("lsn") > 5000) & (F.col("lsn") <= 7000))
+    return chg.groupBy("op").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.min("lsn").alias("lo"),
+        F.max("lsn").alias("hi"),
+    )
+
+
+def q_ordinal_numbering(spark, sf_dir):
+    """W3: stable per-group ordinals (first 3 events per user)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+# ------------------------------------------------- scalars / projection
+
+def q_scalar_battery(spark, sf_dir):
+    """§2.8: the reference's scalar surface — trim/upper/lower, nullif/
+    coalesce, CASE (multiIf), instr, substring, replace, concat,
+    date-part extraction — over events."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.upper("event_type").alias("etype_u"),
+        F.lower("event_type").alias("etype_l"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("redacted")).alias("etype_clean"),
+        F.when(F.col("value") < 10, "low").when(F.col("value") < 30, "mid").otherwise("high").alias("value_band"),
+        (F.instr("event_type", "i") > 0).alias("has_i"),
+        F.substring("event_type", 1, 3).alias("etype3"),
+        F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias("tag"),
+        F.length("props").alias("props_len"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.to_date("ts").alias("dt"),
+        F.floor("value").cast("long").alias("value_floor"),
+    )
+
+
+def q_microsoft_json_date(spark, sf_dir):
+    """§2.8: Microsoft JSON-date round-trip — build '/Date(ms+0000)/'
+    from ts, parse it back vectorized (extractor.py:512-548 port)."""
+    e = load(spark, sf_dir, "events")
+    ms_str = F.format_string("/Date(%d+0000)/", F.unix_millis(F.col("ts").cast("timestamp")))
+    return e.select(
+        "event_id",
+        ms_str.alias("ms_date_str"),
+        parse_microsoft_json_date(ms_str).alias("parsed_ts"),
+    )
+
+
+def q_flatten_json(spark, sf_dir):
+    """P1: JSON payload flatten — extract typed fields from props."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod"),
+    )
+
+
+def q_explode_words(spark, sf_dir):
+    """arrayMap/arrayJoin analog: split → explode (forms_items.sql)."""
+    p = load(spark, sf_dir, "part")
+    return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+
+
+def q_union_missing_columns(spark, sf_dir):
+    """§2.7: unionByName(allowMissingColumns) — schema-evolution union."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("bal")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_acctbal").alias("bal"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+def q_metadata_stamping(spark, sf_dir):
+    """P5: lineage stamping (_source_system/_endpoint/_ingest_epoch)."""
+    chg = _changes(spark, sf_dir).where(F.col("lsn") <= 100)
+    return chg.select(
+        "lsn", "conv_id",
+        F.lit("events").alias("_source_system"),
+        F.lit("transcripts_changes").alias("_endpoint"),
+        F.lit(42).alias("_ingest_epoch"),
+    )
+
+
+# ------------------------------------------------------- analytics/agg
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped partial+final agg (headline bench query)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_region(spark, sf_dir):
+    """J2 shape at analytics scale: fact⋈broadcast-dims star join."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_topk_customers(spark, sf_dir):
+    """§2.6 top-k: deterministic order-by-limit."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("total"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+# ------------------------------------------------ training-data ops
+
+def q_exact_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup_fuzzy.exact_dedup(d, "doc_id", "text")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup_fuzzy.ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.12)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup_fuzzy.minhash_lsh_candidates(
+        d, "doc_id", "text", n=2, num_hashes=8, bands=4, verify_threshold=0.1
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return dedup_fuzzy.simhash_near_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=3)
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, num_centroids=8, nprobe=2, k=3)
+
+
+def q_text_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return text.quality_score(d, "doc_id", "text")
+
+
+def q_token_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count_whitespace("text").alias("ws_tokens"),
+        text.token_count_bpe_ish("text").alias("bpe_tokens"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return text.language_id(d, "doc_id", "text")
+
+
+def q_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return text.fingerprint(d, "doc_id", "text").select("doc_id", "fp_md5")
+
+
+def q_multimodal_features(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(d, "doc_id", "text")
+    return multimodal.extract_features(media)
+
+
+# ------------------------------------------------ the flagship: engine
+
+def q_cdc_engine_e2e(spark, sf_dir):
+    """The actual engine end-to-end: change stream → LakeTable via
+    epoch loop (dedup → CoW MERGE → manifest) → final table state.
+    The oracle is plain SQL LWW — proving engine == SQL semantics."""
+    from pyspark.sql import types as T
+
+    from etl_warehouse_agnostic_spark.engine import CdcEngine
+    from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
+    from etl_warehouse_agnostic_spark.lake.table import LakeTable
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+
+    chg = _changes(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etlwa-e2e-")
+    try:
+        table = LakeTable.create(spark, os.path.join(root, "t"), schema, KEYS, num_buckets=8)
+        eng = CdcEngine(spark, table, ManifestStore(os.path.join(root, "ck")))
+        src = ChangeStreamSource(spark, df=chg)
+        eng.run(src, epoch_size=max(1000, chg.count() // 4))
+        out = table.read().select("conv_id", "turn_idx", "role", "text").localCheckpoint()
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------- registries
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lww_dedup_window": q_lww_dedup_window,
+    "lww_dedup_salted": q_lww_dedup_salted,
+    "cdc_final_state": q_cdc_final_state,
+    "merge_upsert": q_merge_upsert,
+    "dup_batch_anti_join": q_dup_batch_anti_join,
+    "watermark_offsets": q_watermark_offsets,
+    "dq_checks": q_dq_checks,
+    "incremental_slice": q_incremental_slice,
+    "ordinal_numbering": q_ordinal_numbering,
+    "scalar_battery": q_scalar_battery,
+    "microsoft_json_date": q_microsoft_json_date,
+    "flatten_json": q_flatten_json,
+    "explode_words": q_explode_words,
+    "union_missing_columns": q_union_missing_columns,
+    "metadata_stamping": q_metadata_stamping,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_region": q_revenue_by_region,
+    "topk_customers": q_topk_customers,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "cosine_topk": q_cosine_topk,
+    "ivf_topk": q_ivf_topk,
+    "text_quality": q_text_quality,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "multimodal_features": q_multimodal_features,
+    "cdc_engine_e2e": q_cdc_engine_e2e,
+}
+
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = f"string_split({_NORM}, ' ')"
+_STOP = "['the','a','and','of','to','in','is','it','that','for']"
+
+ORACLES: dict[str, str] = {
+    "lww_dedup_window": _LWW_ORACLE,
+    "lww_dedup_salted": _LWW_ORACLE,
+    "cdc_final_state": f"SELECT conv_id, turn_idx, role, text, lsn FROM ({LWW_SQL}) WHERE op <> 'D'",
+    "merge_upsert": f"""
+        WITH base AS (
+          SELECT conv_id, turn_idx, role, lsn FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                     ORDER BY lsn DESC, ts DESC) rn
+            FROM ({CHG_SQL}) WHERE lsn % 2 = 0) WHERE rn = 1 AND op <> 'D'),
+        delta AS (
+          SELECT conv_id, turn_idx, role, lsn, op FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                     ORDER BY lsn DESC, ts DESC) rn
+            FROM ({CHG_SQL}) WHERE lsn % 2 = 1) WHERE rn = 1)
+        SELECT b.conv_id, b.turn_idx, b.role, b.lsn FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM delta d
+                            WHERE d.conv_id = b.conv_id AND d.turn_idx = b.turn_idx)
+        UNION ALL
+        SELECT conv_id, turn_idx, role, lsn FROM delta WHERE op <> 'D'
+    """,
+    "dup_batch_anti_join": f"""
+        WITH chg AS ({CHG_SQL}),
+        loaded AS (SELECT DISTINCT conv_id, turn_idx FROM chg WHERE lsn <= 5000),
+        batch AS (SELECT * FROM chg WHERE lsn > 5000 AND lsn <= 6000)
+        SELECT b.conv_id, b.turn_idx, b.lsn, b.op FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM loaded l
+                          WHERE l.conv_id = b.conv_id AND l.turn_idx = b.turn_idx)
+    """,
+    "watermark_offsets": f"""
+        SELECT CAST(lsn % 8 AS INT) AS pid, max(lsn) AS max_lsn, min(lsn) AS min_lsn,
+               count(*) AS rows, max(ts) AS max_ts
+        FROM ({CHG_SQL}) GROUP BY 1
+    """,
+    "dq_checks": """
+        SELECT event_type, count(*) AS n,
+               count(*) - count(DISTINCT user_id) AS dup_users,
+               sum(CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END) AS bad_value_cnt,
+               max(ts) AS freshest,
+               count(DISTINCT user_id) AS distinct_users
+        FROM events GROUP BY event_type
+    """,
+    "incremental_slice": f"""
+        SELECT op, count(*) AS rows, min(lsn) AS lo, max(lsn) AS hi
+        FROM ({CHG_SQL}) WHERE lsn > 5000 AND lsn <= 7000 GROUP BY op
+    """,
+    "ordinal_numbering": """
+        SELECT user_id, event_id, rn FROM (
+          SELECT user_id, event_id, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+          FROM events) WHERE rn <= 3
+    """,
+    "scalar_battery": """
+        SELECT event_id,
+               upper(event_type) AS etype_u,
+               lower(event_type) AS etype_l,
+               coalesce(nullif(event_type, 'error'), 'redacted') AS etype_clean,
+               CASE WHEN value < 10 THEN 'low' WHEN value < 30 THEN 'mid' ELSE 'high' END AS value_band,
+               instr(event_type, 'i') > 0 AS has_i,
+               substring(event_type, 1, 3) AS etype3,
+               concat(event_type, '-', CAST(user_id AS VARCHAR)) AS tag,
+               length(props) AS props_len,
+               CAST(year(ts) AS INT) AS y,
+               CAST(month(ts) AS INT) AS m,
+               CAST(day(ts) AS INT) AS d,
+               CAST(hour(ts) AS INT) AS h,
+               CAST(ts AS DATE) AS dt,
+               CAST(floor(value) AS BIGINT) AS value_floor
+        FROM events
+    """,
+    "microsoft_json_date": """
+        SELECT event_id,
+               printf('/Date(%d+0000)/', epoch_ms(ts)) AS ms_date_str,
+               make_timestamp(epoch_ms(ts) * 1000) AS parsed_ts
+        FROM events
+    """,
+    "flatten_json": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+               CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+        FROM events
+    """,
+    "explode_words": """
+        SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part
+    """,
+    "union_missing_columns": """
+        SELECT c_custkey AS id, c_acctbal AS bal, NULL::INT AS nationkey FROM customer
+        UNION ALL
+        SELECT s_suppkey AS id, s_acctbal AS bal, s_nationkey AS nationkey FROM supplier
+    """,
+    "metadata_stamping": f"""
+        SELECT lsn, conv_id, 'events' AS _source_system,
+               'transcripts_changes' AS _endpoint, 42 AS _ingest_epoch
+        FROM ({CHG_SQL}) WHERE lsn <= 100
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_region": """
+        SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "topk_customers": """
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS total, count(*) AS n
+        FROM orders GROUP BY o_custkey
+        ORDER BY total DESC, o_custkey ASC LIMIT 10
+    """,
+    "exact_dedup": f"""
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY {_NORM}
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s AS shingle FROM (
+            SELECT doc_id, array_to_string(w[i:i+1], ' ') AS s
+            FROM (SELECT doc_id, {_WORDS} AS w FROM documents),
+                 LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i))
+          WHERE length(s) > 0),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)
+        SELECT a, b, round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.12
+    """,
+    "minhash_lsh": f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s AS shingle FROM (
+            SELECT doc_id, array_to_string(w[i:i+1], ' ') AS s
+            FROM (SELECT doc_id, {_WORDS} AS w FROM documents),
+                 LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i))
+          WHERE length(s) > 0),
+        sig AS (
+          SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+          FROM sh, LATERAL (SELECT unnest(generate_series(0, 7)) AS seed)
+          GROUP BY doc_id, seed),
+        banded AS (
+          SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+                 md5(array_to_string(list_sort(list(minhash)), '|')) AS bucket
+          FROM sig GROUP BY doc_id, CAST(floor(seed / 2) AS INT)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)
+        SELECT c.a, c.b, round(i.n_inter / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+        FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+        JOIN sizes sa ON sa.doc_id = c.a JOIN sizes sb ON sb.doc_id = c.b
+        WHERE i.n_inter / (sa.sz + sb.sz - i.n_inter) >= 0.1
+    """,
+    "cosine_topk": """
+        SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                            c.vec_id ASC) AS rank
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rank <= 3
+    """,
+    "text_quality": f"""
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               len({_WORDS}) AS n_words,
+               round(length(replace({_NORM}, ' ', '')) / greatest(len({_WORDS}), 1), 6) AS avg_word_len,
+               round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio,
+               round(len(list_filter({_WORDS}, x -> list_contains({_STOP}, x))) / greatest(len({_WORDS}), 1), 6) AS stopword_ratio,
+               (len({_WORDS}) >= 5
+                AND round(length(replace({_NORM}, ' ', '')) / greatest(len({_WORDS}), 1), 6) BETWEEN 2 AND 12
+                AND round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / greatest(length(text), 1), 6) <= 0.2) AS keep
+        FROM documents
+    """,
+    "token_counts": f"""
+        SELECT doc_id,
+               len({_WORDS}) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+        FROM documents
+    """,
+    "lang_id": f"""
+        SELECT doc_id,
+               round(len(list_filter({_WORDS}, x -> list_contains({_STOP}, x))) / greatest(len({_WORDS}), 1), 6) AS en_score,
+               CASE WHEN round(len(list_filter({_WORDS}, x -> list_contains({_STOP}, x))) / greatest(len({_WORDS}), 1), 6) >= 0.05
+                    THEN 'en' ELSE 'und' END AS lang_pred
+        FROM documents
+    """,
+    "fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp_md5 FROM documents",
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               md5(text) AS payload_md5,
+               FALSE AS decoded
+        FROM documents
+    """,
+    "cdc_engine_e2e": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
+    # simhash_pairs / ivf_topk: intentionally no oracle (bit-twiddling /
+    # approximate path not portably expressible) → rows-only check.
+}

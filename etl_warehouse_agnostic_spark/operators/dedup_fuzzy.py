@@ -1,0 +1,184 @@
+"""Near-duplicate detection family for training-data pipelines:
+exact hash dedup, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the point of each design):
+
+- exact_dedup: one hash-shuffle groupBy — the cheapest pass, run first.
+- ngram_jaccard_pairs: exact pairwise Jaccard via a shingle-inverted
+  index (explode → self-join on shingle → count). Quadratic in the
+  worst case — correct baseline, use only after LSH candidate pruning
+  at scale.
+- minhash_lsh: banded MinHash — candidates are pairs sharing ≥1 band
+  bucket, so the join is on (band, bucket) instead of all-pairs; the
+  classic sub-quadratic scale path. Hash family is md5(seed || shingle)
+  (portable, deterministic) with the min taken per seed.
+- simhash: 64-bit sign-sum sketch; hamming-close pairs are near-dups.
+
+All DataFrame-native: explode / groupBy / join — no Python in the hot
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_warehouse_agnostic_spark.operators.text import normalize_text, word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the smallest id per identical normalized text."""
+    return (
+        df.groupBy(normalize_text(text_col).alias("_norm"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_norm")
+    )
+
+
+def _pair_jaccard(shingles: DataFrame, id_col: str) -> DataFrame:
+    """(a, b, jaccard) for all doc pairs sharing ≥1 shingle; a < b."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    left = shingles.select(F.col(id_col).alias("a"), "shingle")
+    right = shingles.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    return _pair_jaccard(sh, id_col).where(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """(id, seed, minhash) — minhash per seed is min(md5(seed:shingle)).
+
+    md5-hex-string min is engine-portable (same result in any SQL
+    engine), deterministic, and uniform enough for LSH banding.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    h = F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
+    return (
+        shingles.select(F.col(id_col), seeds, F.col("shingle"))
+        .groupBy(id_col, "seed")
+        .agg(F.min(h).alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate pairs, verified with exact Jaccard.
+
+    Pipeline: shingle → minhash(num_hashes) → band signatures
+    (num_hashes/bands rows each) → bucket-join on (band, bucket) →
+    exact-Jaccard verify ≥ verify_threshold. Output (a, b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list("minhash")))).alias("bucket"))
+    )
+    left = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard (semi-join prunes the index).
+    pairs = _pair_jaccard(
+        sh.join(
+            cand.select(F.explode(F.array("a", "b")).alias(id_col)).distinct(),
+            id_col, "left_semi",
+        ),
+        id_col,
+    )
+    return (
+        cand.join(pairs, ["a", "b"])
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sign of the sum of
+    token-hash bits. JVM-side: explode words → bit-test xxhash64 →
+    groupBy sum → reassemble."""
+    from etl_warehouse_agnostic_spark.operators.text import words
+
+    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("w")).where(F.col("w") != "")
+    h = F.xxhash64("w")
+    one = F.lit(1).cast("long")
+    bit_cols = [
+        F.sum(
+            F.when(h.bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_cols)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Blocked on 16-bit chunks (pigeonhole: ≤3 differing bits over 4
+    chunks → ≥1 identical chunk), so the join is equi on (chunk_idx,
+    chunk_value) — no all-pairs."""
+    sig = simhash(df, id_col, text_col).cache()
+    chunks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.ci", "c.cv")
+    left = chunks.select(F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "ci", "cv")
+    right = chunks.select(F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "ci", "cv")
+    cand = (
+        left.join(right, ["ci", "cv"]).where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b").distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("a", "b", ham.alias("hamming")).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata
+struct; decode / feature-extraction runs as Arrow-batched pandas over
+``mapInPandas``. The decode step itself is STUBBED (no image/audio libs
+in this container — see ``decode_image_stub``), but the Spark-side
+plumbing — schema, partitioning, UDF signature, batch shape — is real
+and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("payload_md5", T.StringType(), True),
+        T.StructField("decoded", T.BooleanType(), True),
+    ]
+)
+
+
+def to_media_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic fake media table from a text table: payload =
+    UTF-8 bytes of the text (stands in for encoded image bytes)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.struct(
+            F.length(text_col).cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("raw").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> "object":
+    """Where a real pipeline calls PIL/libvips. Deliberately stubbed:
+    the container has no imaging libs; at deployment, swap in
+    ``PIL.Image.open(io.BytesIO(payload))`` here."""
+    raise NotImplementedError("image decode requires PIL/libvips — not in this container")
+
+
+def extract_features(media: DataFrame, try_decode: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Batch shape: pandas DataFrame per Arrow batch; ``payload`` arrives
+    as bytes objects in a Series — operations stay whole-column. The
+    (stubbed) decode is attempted per batch only when try_decode=True.
+    """
+
+    def _features(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payload = pdf["payload"]
+            decoded = False
+            if try_decode:
+                try:
+                    decode_image_stub(payload.iloc[0] if len(payload) else b"")
+                    decoded = True
+                except NotImplementedError:
+                    decoded = False
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": payload.map(lambda b: len(b) if b is not None else None).astype("Int64"),
+                    "payload_md5": payload.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                    "decoded": decoded,
+                }
+            )
+
+    return media.mapInPandas(_features, schema=FEATURES_SCHEMA)
