@@ -1,0 +1,109 @@
+"""Per-round benchmark (driver contract).
+
+Runs the CDC apply loop (the BASELINE.json headline metric:
+change-events/sec end-to-end) plus the headline harness queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line::
+
+    {"metric": "change_apply_events_per_sec", "value": N, "unit":
+     "events/sec", "queries": {...sec...}, "sf": 0.1, ...}
+
+Query timings use a noop-format write so the full plan executes with
+no driver collect cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+HEADLINE = [
+    "lww_dedup_salted",
+    "lww_dedup_window",
+    "cdc_final_state",
+    "merge_upsert",
+    "dup_batch_anti_join",
+    "pricing_summary",
+    "revenue_by_region",
+    "topk_customers",
+    "exact_dedup",
+    "minhash_lsh",
+    "cosine_topk",
+    "text_quality",
+    "token_counts",
+    "multimodal_features",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from etl_warehouse_agnostic_spark.engine import CdcEngine
+    from etl_warehouse_agnostic_spark.harness import QUERIES
+    from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
+    from etl_warehouse_agnostic_spark.lake.table import LakeTable
+    from etl_warehouse_agnostic_spark.schemas import KEY_COLS, TRANSCRIPTS_SCHEMA_V2
+    from etl_warehouse_agnostic_spark.session import get_spark
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+    from etl_warehouse_agnostic_spark.sources.generator import generate_changes
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+
+    # ---- headline metric: CDC apply throughput ----
+    n_events = int(40_000_000 * sf)
+    n_convs = max(1000, int(400_000 * sf))
+    work_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    work = f"{work_root}/etlwa-bench-{os.getpid()}"
+    os.makedirs(work, exist_ok=True)
+    try:
+        changes_path = os.path.join(work, "changes.parquet")
+        generate_changes(
+            spark, n_events, n_convs=n_convs, turns_per_conv=50, seed=42,
+            evolution_lsn=n_events // 2,
+        ).write.mode("overwrite").parquet(changes_path)
+
+        table = LakeTable.create(
+            spark, os.path.join(work, "table"), TRANSCRIPTS_SCHEMA_V2, KEY_COLS, num_buckets=64
+        )
+        eng = CdcEngine(spark, table, ManifestStore(os.path.join(work, "ckpt")),
+                        source_partitions=cpus)
+        src = ChangeStreamSource(spark, path=changes_path)
+        t0 = time.monotonic()
+        results = eng.run(src, epoch_size=max(1, n_events // 2))
+        apply_wall = time.monotonic() - t0
+        eps = n_events / apply_wall
+
+        # ---- per-query timings ----
+        timings: dict[str, float] = {"cdc_apply_loop": round(apply_wall, 3)}
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+
+        out = {
+            "metric": "change_apply_events_per_sec",
+            "value": round(eps, 1),
+            "unit": "events/sec",
+            "queries": timings,
+            "sf": sf,
+            "events": n_events,
+            "epochs": len(results),
+            "cores": cpus,
+            "final_rows": table.read().count(),
+        }
+        print(json.dumps(out), flush=True)
+        return 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,11 +23,16 @@ re-applying — the write-ahead ordering the reference implements as
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
 from etl_warehouse_agnostic_spark.lake.table import LakeTable
@@ -42,6 +47,41 @@ from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
 
 # Change-envelope columns that are not table payload.
 CDC_COLS = {"op", "lsn", "schema_ver"}
+
+
+def _footer_offsets(staging_dir: str, lsn_col: str = "lsn") -> dict:
+    """Per-bucket high-water offsets + row counts from the staged
+    parquet footers (driver-side metadata reads, no Spark job).
+
+    The bucket is the lineage partition unit (FIXTURES.md F4); the
+    epoch's global lsn bounds live in lineage.lsn_range.
+    """
+    import pyarrow.parquet as pq
+
+    offsets: dict[str, dict[str, int]] = {}
+    for sub in sorted(os.listdir(staging_dir)):
+        if not sub.startswith("_pb="):
+            continue
+        bucket = sub.split("=", 1)[1]
+        rows = 0
+        max_lsn = None
+        d = os.path.join(staging_dir, sub)
+        for fn in os.listdir(d):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, fn)).metadata
+            rows += md.num_rows
+            try:
+                idx = md.schema.names.index(lsn_col)
+            except ValueError:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    m = int(st.max)
+                    max_lsn = m if max_lsn is None else max(max_lsn, m)
+        offsets[bucket] = {"max_lsn": max_lsn or 0, "rows": rows}
+    return offsets
 
 
 @dataclass
@@ -65,7 +105,7 @@ class CdcEngine:
         checkpoints: ManifestStore,
         key_cols: list[str] | None = None,
         order_cols: list[str] | None = None,
-        dedup_method: str = "salted",
+        dedup_method: str = "window",
         num_salts: int = 16,
         source_partitions: int = 32,
         arrow_projection: bool = True,
@@ -107,9 +147,6 @@ class CdcEngine:
 
     # ---------------- one epoch ----------------
 
-    def _partition_of(self) -> F.Column:
-        return F.pmod(F.xxhash64(F.col(self.key_cols[0])), F.lit(self.source_partitions)).cast("int")
-
     def apply_epoch(
         self,
         changes: DataFrame,
@@ -123,72 +160,109 @@ class CdcEngine:
             self.recover()
             return EpochResult(epoch=epoch, skipped=True)
 
-        # One distributed pass for offsets + counts over the slice.
-        sv_agg = (
-            F.max("schema_ver") if "schema_ver" in changes.columns else F.max(F.lit(1))
-        ).alias("sv")
-        stats = (
-            changes.groupBy(self._partition_of().alias("pid"))
-            .agg(F.max("lsn").alias("max_lsn"), F.min("lsn").alias("min_lsn"),
-                 F.count(F.lit(1)).alias("rows"), sv_agg)
-            .collect()
-        )
-        rows_read = sum(r["rows"] for r in stats)
-        offsets = {str(r["pid"]): {"max_lsn": int(r["max_lsn"]), "rows": int(r["rows"])} for r in stats}
-        schema_ver_max = max((int(r["sv"]) for r in stats), default=1)
-        if lsn_range is None:
-            lo = min((int(r["min_lsn"]) for r in stats), default=0)
-            hi = max((int(r["max_lsn"]) for r in stats), default=0)
-            lsn_range = (lo, hi)
-
         # Writer-schema resolution: with a registry, the slice's payload
         # is the max writer schema it actually contains; without one,
-        # whatever columns the batch physically carries.
+        # whatever columns the batch physically carries. Registry mode
+        # (used when the change log physically stores the union schema)
+        # needs the slice's max writer version before projection — one
+        # small agg job; the default path pays no extra job.
+        schema_ver_max = 1
         if self.schema_registry is not None:
+            row = changes.agg(F.max("schema_ver")).first()
+            schema_ver_max = int(row[0]) if row and row[0] is not None else 1
             payload_cols = self.schema_registry[schema_ver_max]
             keep = [c for c in changes.columns if c in CDC_COLS or c in self.key_cols]
             changes = changes.select(*keep, *[c for c in payload_cols if c not in keep])
+
+        # Global slice stats ride along on the staging job (Observation
+        # attached upstream of the dedup) — no separate stats pass.
+        obs_in = Observation(f"slice-e{epoch}-{uuid.uuid4().hex[:6]}")
+        in_metrics = [
+            F.count(F.lit(1)).alias("rows_read"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+        ]
+        if "schema_ver" in changes.columns:
+            in_metrics.append(F.max("schema_ver").alias("sv_max"))
+        changes = changes.observe(obs_in, *in_metrics)
 
         # Add-only schema evolution: payload columns in this batch that
         # the table doesn't know yet become ADD COLUMNs before apply.
         added = new_fields(changes, self.table.schema, passthrough=CDC_COLS)
         schema = self.table.evolve_schema(added) if added else self.table.schema
 
+        # Dedup once, stage the epoch delta (bucketed, tiny relative to
+        # the slice), then merge from the staged files. One pass over
+        # the raw slice; census (affected buckets + op counts) falls out
+        # of the staging write's Observation + directory listing — no
+        # extra Spark jobs. The staged delta doubles as durable lineage
+        # for the epoch.
+        from etl_warehouse_agnostic_spark.functions.scalars import bucket_of
+
         deduped = lww_dedup(
             changes, self.key_cols, self.order_cols,
             method=self.dedup_method, num_salts=self.num_salts,
-        ).persist()
-        try:
-            upserts, deletes = split_ops(deduped)
-            n_up = upserts.count()
-            n_del = deletes.count()
-            payload = project_arrow(upserts, schema) if (added and self.arrow_projection) \
-                else project_columns(upserts, schema)
-            delete_keys = deletes.select(*self.key_cols)
+        )
+        envelope = [c for c in ("op", "lsn", "schema_ver") if c in deduped.columns]
+        projected = (
+            project_arrow(deduped, schema, keep=envelope)
+            if (added and self.arrow_projection)
+            else project_columns(deduped, schema, keep=envelope)
+        ).withColumn("_bucket", bucket_of(self.key_cols[0], self.table.num_buckets))
 
-            manifest = {
-                "epoch": epoch,
-                "offsets": offsets,
-                "metrics": {
-                    "rows_read": rows_read,
-                    "rows_upserted": n_up,
-                    "rows_deleted": n_del,
-                    "bytes_written": 0,  # patched post-merge
-                    "wall_ms": 0,
-                },
-                "lineage": {
-                    "source": self.source_name,
-                    "lsn_range": list(lsn_range),
-                    "schema_ver_max": schema_ver_max,
-                    "added_columns": [f.name for f in added],
-                },
-            }
-            res = self.table.merge(
-                payload, delete_keys, epoch_id=epoch,
-                extra_summary={"manifest": manifest},
+        staging_dir = os.path.join(self.table.path, "_staging", f"e{epoch:08d}")
+        _, observed, _ = self.table.write_bucketed(
+            projected, staging_dir,
+            extra_metrics={"n_del": F.sum(F.when(F.col("op") == "D", 1).otherwise(0))},
+        )
+        n_del = observed.get("n_del", 0)
+        n_up = observed["rows"] - n_del
+        affected = self.table.staged_buckets(staging_dir)
+
+        slice_stats = obs_in.get
+        rows_read = int(slice_stats.get("rows_read") or 0)
+        schema_ver_max = int(slice_stats.get("sv_max") or schema_ver_max or 1)
+        if lsn_range is None:
+            lsn_range = (
+                int(slice_stats.get("min_lsn") or 0),
+                int(slice_stats.get("max_lsn") or 0),
             )
-        finally:
-            deduped.unpersist()
+        # Per-bucket offsets/lineage from the staged parquet footers —
+        # driver-side metadata only, no job.
+        offsets = _footer_offsets(staging_dir)
+
+        env_types = {"op": T.StringType(), "lsn": T.LongType(), "schema_ver": T.IntegerType()}
+        staged_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(c, env_types[c], True) for c in envelope]
+        )
+        staged = self.table.read_bucketed(staging_dir, staged_schema)
+        upserts, deletes = split_ops(staged)
+        payload = upserts.drop("lsn", "schema_ver")
+        delete_keys = deletes.select(*self.key_cols)
+
+        manifest = {
+            "epoch": epoch,
+            "offsets": offsets,
+            "metrics": {
+                "rows_read": rows_read,
+                "rows_upserted": n_up,
+                "rows_deleted": n_del,
+                "bytes_written": 0,  # patched post-merge
+                "wall_ms": 0,
+            },
+            "lineage": {
+                "source": self.source_name,
+                "lsn_range": list(lsn_range),
+                "schema_ver_max": schema_ver_max,
+                "added_columns": [f.name for f in added],
+            },
+        }
+        res = self.table.merge(
+            payload, delete_keys, epoch_id=epoch,
+            extra_summary={"manifest": manifest},
+            affected_buckets=affected,
+        )
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         manifest["metrics"]["bytes_written"] = res.bytes_written
@@ -196,6 +270,7 @@ class CdcEngine:
         manifest["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         manifest["snapshot_version"] = res.version
         self.checkpoints.finalize(epoch, manifest)
+        shutil.rmtree(staging_dir, ignore_errors=True)
         return EpochResult(
             epoch=epoch, skipped=res.skipped, rows_read=rows_read,
             rows_upserted=n_up, rows_deleted=n_del,

@@ -193,17 +193,23 @@ class LakeTable:
 
     # ---------------- write paths ----------------
 
-    def _write_epoch_files(
-        self, df: DataFrame, tag: str
-    ) -> tuple[dict[str, list[str]], int, int]:
-        """Write df (must carry _bucket) under data/<tag>/, one file set
-        per bucket via partitionBy; returns (bucket->relpaths, rows,
-        bytes). Row count comes from an Observation — no extra pass."""
-        out_dir = os.path.join(self.data_dir, tag)
-        obs = Observation(f"write-{tag}")
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        out_dir: str,
+        extra_metrics: dict[str, F.Column] | None = None,
+    ) -> tuple[dict[str, list[str]], dict[str, int], int]:
+        """Write df (must carry _bucket) under out_dir, one file set per
+        bucket via partitionBy; returns (bucket->relpaths, observed
+        metrics incl. 'rows', bytes). Metrics come from an Observation
+        attached to the write — no extra pass over the data."""
+        obs = Observation(f"write-{os.path.basename(out_dir)}-{uuid.uuid4().hex[:6]}")
+        metrics = {"rows": F.count(F.lit(1)).alias("rows")}
+        for k, v in (extra_metrics or {}).items():
+            metrics[k] = v.alias(k)
         (
             df.withColumn(_PB, F.col(_BUCKET))
-            .observe(obs, F.count(F.lit(1)).alias("rows"))
+            .observe(obs, *metrics.values())
             .repartition(F.col(_BUCKET))
             # _PB leads the sort so FileFormatWriter's required ordering
             # (by partition cols) is already satisfied and the key sort
@@ -213,7 +219,7 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
-        rows = int(obs.get["rows"])
+        observed = {k: int(v or 0) for k, v in obs.get.items()}
         files: dict[str, list[str]] = {}
         nbytes = 0
         for sub in os.listdir(out_dir):
@@ -225,7 +231,33 @@ class LakeTable:
                     full = os.path.join(out_dir, sub, fn)
                     nbytes += os.path.getsize(full)
                     files.setdefault(b, []).append(os.path.relpath(full, self.path))
-        return files, rows, nbytes
+        return files, observed, nbytes
+
+    def _write_epoch_files(
+        self, df: DataFrame, tag: str
+    ) -> tuple[dict[str, list[str]], int, int]:
+        files, observed, nbytes = self.write_bucketed(df, os.path.join(self.data_dir, tag))
+        return files, observed["rows"], nbytes
+
+    def read_bucketed(self, dir_path: str, schema: T.StructType) -> DataFrame:
+        """Read a write_bucketed() directory back (leaf files directly,
+        no partition inference; _bucket travels as a data column)."""
+        files = []
+        for sub in os.listdir(dir_path):
+            if sub.startswith(f"{_PB}="):
+                d = os.path.join(dir_path, sub)
+                files.extend(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet"))
+        full = schema.add(_BUCKET, T.IntegerType()) if _BUCKET not in schema.names else schema
+        if not files:
+            return self.spark.createDataFrame([], full)
+        return self.spark.read.schema(full).parquet(*files)
+
+    def staged_buckets(self, dir_path: str) -> list[int]:
+        return sorted(
+            int(sub.split("=", 1)[1])
+            for sub in os.listdir(dir_path)
+            if sub.startswith(f"{_PB}=")
+        )
 
     def _commit(self, snap: dict) -> int:
         v = snap["version"]
@@ -300,6 +332,7 @@ class LakeTable:
         delete_keys: DataFrame | None = None,
         epoch_id: int | None = None,
         extra_summary: dict | None = None,
+        affected_buckets: list[int] | None = None,
     ) -> MergeResult:
         """Copy-on-write MERGE: last-writer-wins upsert + tombstone
         delete keyed on ``key_cols``.
@@ -331,8 +364,13 @@ class LakeTable:
             changed_keys = changed_keys.unionByName(dk)
         changed_keys = changed_keys.dropDuplicates(keys)
 
-        # Affected-bucket census — tiny (≤ num_buckets rows) collect.
-        affected = [r[0] for r in changed_keys.select(_BUCKET).distinct().collect()]
+        # Affected-bucket census — tiny (≤ num_buckets rows) collect,
+        # or precomputed by the caller (the engine folds it into its
+        # metrics aggregation to save a job).
+        if affected_buckets is not None:
+            affected = list(affected_buckets)
+        else:
+            affected = [r[0] for r in changed_keys.select(_BUCKET).distinct().collect()]
         if not affected:
             # Nothing to change; still record the epoch for idempotence.
             snap = self._next_snapshot(cur, "merge")

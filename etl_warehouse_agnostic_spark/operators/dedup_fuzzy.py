@@ -114,19 +114,26 @@ def minhash_lsh_candidates(
         .select("a", "b")
         .distinct()
     )
-    # Verify candidates with exact Jaccard (semi-join prunes the index).
-    pairs = _pair_jaccard(
-        sh.join(
-            cand.select(F.explode(F.array("a", "b")).alias(id_col)).distinct(),
-            id_col, "left_semi",
-        ),
-        id_col,
+    # Verify candidate PAIRS only (not all pairs among candidate docs):
+    # route the shingle-intersection join through the candidate list.
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col(id_col).alias("a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        cand.join(sh_a, "a")
+        .join(sh_b, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
-        cand.join(pairs, ["a", "b"])
-        .where(F.col("jaccard") >= verify_threshold)
-        .select("a", "b", "jaccard")
+    jac = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a", "b",
+            F.round(F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6).alias("jaccard"),
+        )
     )
+    return jac.where(F.col("jaccard") >= verify_threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:

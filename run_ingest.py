@@ -1,0 +1,125 @@
+"""spark-submit entry point: binlog replay → lake-table upsert.
+
+Cluster launch (the north-rule path)::
+
+    zip -r engine.zip etl_warehouse_agnostic_spark
+    spark-submit --master yarn --py-files engine.zip run_ingest.py \
+        --changes s3://…/transcripts_changes --table s3://…/transcripts \
+        --epoch-size 100000000 --buckets 4096 --shuffle-partitions 4096
+
+Local (also used by the N-vs-4N scaling harness)::
+
+    python run_ingest.py --events 2000000 --cores 8 --workdir /tmp/w
+
+Prints one JSON line with wall time and events/sec over the apply loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--changes", help="existing change-stream parquet dir (else synthesized)")
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--convs", type=int, default=20_000)
+    ap.add_argument("--turns", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--num-salts", type=int, default=16)
+    ap.add_argument("--dedup", choices=["salted", "window"], default="window")
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--shuffle-partitions", type=int)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--keep-workdir", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import types as T
+
+    from etl_warehouse_agnostic_spark.engine import CdcEngine
+    from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
+    from etl_warehouse_agnostic_spark.lake.table import LakeTable
+    from etl_warehouse_agnostic_spark.schemas import KEY_COLS, TRANSCRIPTS_SCHEMA_V2
+    from etl_warehouse_agnostic_spark.session import get_spark
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+    from etl_warehouse_agnostic_spark.sources.generator import generate_changes
+
+    spark = get_spark(
+        f"cdc-ingest-{args.cores}c",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions or args.cores,
+    )
+
+    workdir = args.workdir or f"/tmp/etlwa-ingest-{os.getpid()}"
+    os.makedirs(workdir, exist_ok=True)
+    try:
+        changes_path = args.changes
+        n_events = args.events
+        if changes_path is None:
+            changes_path = os.path.join(workdir, "changes.parquet")
+            if not os.path.exists(changes_path):
+                generate_changes(
+                    spark, args.events, n_convs=args.convs, turns_per_conv=args.turns,
+                    seed=args.seed, evolution_lsn=args.events // 2,
+                ).write.mode("overwrite").parquet(changes_path)
+
+        table_dir = os.path.join(workdir, f"table-{args.cores}c")
+        ckpt_dir = os.path.join(workdir, f"ckpt-{args.cores}c")
+        shutil.rmtree(table_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        table = LakeTable.create(
+            spark, table_dir, TRANSCRIPTS_SCHEMA_V2, KEY_COLS, num_buckets=args.buckets
+        )
+        eng = CdcEngine(
+            spark, table, ManifestStore(ckpt_dir),
+            dedup_method=args.dedup, num_salts=args.num_salts,
+            source_partitions=args.cores,
+        )
+        src = ChangeStreamSource(spark, path=changes_path)
+        max_lsn = src.max_lsn()
+        n_events = max_lsn
+        n_epochs = max(1, args.epochs)
+        epoch_size = max(1, (max_lsn + n_epochs - 1) // n_epochs)
+
+        t0 = time.monotonic()
+        results = eng.run(src, epoch_size=epoch_size)
+        wall = time.monotonic() - t0
+
+        epoch_walls = [round(r.wall_ms / 1000, 3) for r in results]
+        epoch_rows = [r.rows_read for r in results]
+        # steady-state: exclude the first epoch (JVM/codegen warmup)
+        warm_rows = sum(epoch_rows[1:]) or epoch_rows[0]
+        warm_wall = sum(epoch_walls[1:]) or epoch_walls[0]
+        out = {
+            "events": n_events,
+            "epochs": len(results),
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(n_events / wall, 1),
+            "epoch_walls_sec": epoch_walls,
+            "warm_events_per_sec": round(warm_rows / warm_wall, 1),
+            "cores": args.cores,
+            "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "buckets": args.buckets,
+            "num_salts": args.num_salts,
+            "dedup": args.dedup,
+            "rows_upserted": sum(r.rows_upserted for r in results),
+            "rows_deleted": sum(r.rows_deleted for r in results),
+            "bytes_written": sum(r.bytes_written for r in results),
+            "final_rows": table.read().count(),
+        }
+        print(json.dumps(out), flush=True)
+        return 0
+    finally:
+        if not args.keep_workdir and args.workdir is None:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

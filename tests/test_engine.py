@@ -149,10 +149,14 @@ def test_manifest_offsets_and_metrics(spark, tmpdir_path, changes_path):
     results = eng.run(src, epoch_size=2000)
     m = eng.checkpoints.get(1)
     assert m["metrics"]["rows_read"] == 2000
-    assert m["metrics"]["rows_upserted"] + m["metrics"]["rows_deleted"] <= 2000
+    n_net = m["metrics"]["rows_upserted"] + m["metrics"]["rows_deleted"]
+    assert 0 < n_net <= 2000
     assert m["metrics"]["bytes_written"] > 0
-    assert sum(v["rows"] for v in m["offsets"].values()) == 2000
+    # offsets are per-bucket lineage over the staged (deduped) delta
+    assert sum(v["rows"] for v in m["offsets"].values()) == n_net
+    # the globally newest lsn always survives LWW dedup
     assert max(v["max_lsn"] for v in m["offsets"].values()) == 2000
+    assert m["lineage"]["lsn_range"] == [0, 2000]
     assert results[-1].snapshot_version == eng.table.latest_version()
 
 
