@@ -55,7 +55,7 @@ def unwrap_value_fields(df: DataFrame) -> DataFrame:
 def promote_first_element(df: DataFrame, array_col: str, fields: list[str], prefix: str) -> DataFrame:
     """LeafLink 'primary contact/manager' promotion: first array element's
     fields become top-level columns (extractors/leaflink/extractor.py:655-700)."""
-    first = F.element_at(F.col(array_col), 1)
+    first = F.try_element_at(F.col(array_col), F.lit(1))  # NULL on empty array
     out = df
     for fld in fields:
         out = out.withColumn(f"{prefix}_{fld}", first.getField(fld))

@@ -1,0 +1,115 @@
+"""Training-data operators: dedup family, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_warehouse_agnostic_spark.operators import dedup_fuzzy, multimodal, similarity, text
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+    (4, "completely different text about spark engines"),
+    (5, "THE  Quick   Brown fox jumps over the lazy dog"),  # same after normalize
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(spark, docs):
+    out = {r.doc_id: r.n_copies for r in dedup_fuzzy.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out == {1: 3, 3: 1, 4: 1}  # 1,2,5 collapse
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r.a, r.b) for r in
+             dedup_fuzzy.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_candidates(spark, docs):
+    out = {(r.a, r.b) for r in dedup_fuzzy.minhash_lsh_candidates(
+        docs, "doc_id", "text", n=2, num_hashes=8, bands=4, verify_threshold=0.5).collect()}
+    assert (1, 2) in out  # identical docs always collide in every band
+    assert not any(4 in p for p in out)
+
+
+def test_simhash_identical_and_distance(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in dedup_fuzzy.simhash(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2] == sigs[5]
+    pairs = {(r.a, r.b): r.hamming for r in
+             dedup_fuzzy.simhash_near_pairs(docs, "doc_id", "text", max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where("vec_id = 1")
+    out = [(r.neighbor_id, r.rank) for r in
+           similarity.cosine_topk(emb, q, k=3).orderBy("rank").collect()]
+    assert out == [(2, 1), (4, 2), (3, 3)]
+
+
+def test_ivf_topk_probes_subset(spark):
+    import math
+    emb = spark.createDataFrame(
+        [(i, [math.cos(i / 7.0), math.sin(i / 7.0)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where("vec_id = 10")
+    out = similarity.ivf_topk(emb, q, num_centroids=4, nprobe=2, k=3).collect()
+    assert len(out) == 3
+    assert {r.neighbor_id for r in out} <= set(range(30)) - {10}
+    # nearest angular neighbors of 10 are 9 and 11
+    assert {9, 11} <= {r.neighbor_id for r in out}
+
+
+def test_quality_and_tokens(spark, docs):
+    q = {r.doc_id: r for r in text.quality_score(docs, "doc_id", "text").collect()}
+    assert q[1].n_words == 9 and q[1].keep
+    t = docs.select(
+        "doc_id",
+        text.token_count_bpe_ish("text").alias("n"),
+        text.token_count_whitespace("text").alias("nw"),
+    ).collect()
+    assert all(r.n >= r.nw for r in t)  # BPE-ish never fewer than words
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog in the house"), (2, "zzz qqq www rrr ttt")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in text.language_id(df, "doc_id", "text").collect()}
+    assert out == {1: "en", 2: "und"}
+
+
+def test_fingerprint_normalization(spark, docs):
+    fp = {r.doc_id: r.fp_md5 for r in text.fingerprint(docs, "doc_id", "text").collect()}
+    assert fp[1] == fp[2] == fp[5] and fp[1] != fp[3]
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.to_media_table(docs, "doc_id", "text")
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "media_type", "meta"]
+    feats = multimodal.extract_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert rows[1].byte_len == len(DOCS[0][1].encode())
+    assert rows[1].payload_md5 == __import__("hashlib").md5(DOCS[0][1].encode()).hexdigest()
+    assert rows[1].decoded is False
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"bytes")
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = {r.shingle for r in text.word_shingles(df, "doc_id", "text", n=3).collect()}
+    assert out == {"a b c", "b c d"}
