@@ -164,7 +164,10 @@ class LakeTable:
         """Snapshot whose commit carried this epoch (recovery scan)."""
         v = self.latest_version()
         while v is not None:
-            snap = self.snapshot(v)
+            try:
+                snap = self.snapshot(v)
+            except FileNotFoundError:
+                return None  # expired ancestor — epoch predates retention
             if snap["summary"].get("epoch_id") == epoch_id:
                 return snap
             v = snap["parent"]
@@ -325,6 +328,42 @@ class LakeTable:
             snap["committed_epochs"].append(epoch_id)
         v = self._commit(snap)
         return MergeResult(v, epoch_id, rows, nbytes, len(files))
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg-style maintenance: drop snapshot metadata older than
+        the newest ``keep_last`` versions and delete data files no
+        retained snapshot references. Committed-epoch ids are carried
+        forward in the newest snapshot, so exactly-once survives expiry.
+        """
+        latest = self.latest_version()
+        if latest is None:
+            return {"removed_snapshots": 0, "removed_files": 0}
+        keep_versions = {
+            v for v in range(max(1, latest - keep_last + 1), latest + 1)
+            if os.path.exists(os.path.join(self.meta_dir, f"v{v:08d}.json"))
+        }
+        referenced: set[str] = set()
+        for v in keep_versions:
+            for paths in self.snapshot(v)["files"].values():
+                referenced.update(paths)
+        removed_files = 0
+        for root, _, files in os.walk(self.data_dir):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.path)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    os.unlink(full)
+                    removed_files += 1
+        removed_snaps = 0
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("v") and f.endswith(".json") and int(f[1:9]) not in keep_versions:
+                os.unlink(os.path.join(self.meta_dir, f))
+                removed_snaps += 1
+        # prune now-empty epoch dirs
+        for root, dirs, files in os.walk(self.data_dir, topdown=False):
+            if not dirs and not files and root != self.data_dir:
+                os.rmdir(root)
+        return {"removed_snapshots": removed_snaps, "removed_files": removed_files}
 
     def merge(
         self,
