@@ -297,6 +297,36 @@ def q_topk_customers(spark, sf_dir):
     )
 
 
+def q_completeness_ratio(spark, sf_dir):
+    """J4: silver-vs-raw completeness — rowcount ratio per entity
+    (airflow/dags/repsly_dag.py:1447-1466). 'Silver' = the deduped
+    final state; 'raw' = the full change stream."""
+    chg = _changes(spark, sf_dir)
+    raw = chg.groupBy("conv_id").agg(F.count(F.lit(1)).alias("raw_rows"))
+    d = lww_dedup_salted(chg, KEYS, ORDER)
+    silver, _ = split_ops(d)
+    sil = silver.groupBy("conv_id").agg(F.count(F.lit(1)).alias("silver_rows"))
+    return raw.join(sil, "conv_id", "left").select(
+        "conv_id", "raw_rows",
+        F.coalesce("silver_rows", F.lit(0)).alias("silver_rows"),
+        F.round(F.coalesce("silver_rows", F.lit(0)) / F.col("raw_rows"), 6).alias("completeness"),
+    )
+
+
+def q_clean_tabular(spark, sf_dir):
+    """P4/S8: sheet-range cleaner — dirty-null scrub, all-null row
+    drop, stable row numbering — over a sheet-shaped projection."""
+    from etl_warehouse_agnostic_spark.operators.flatten import clean_tabular
+
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    sheet = e.select(
+        F.col("event_id").cast("string").alias("Event ID"),
+        F.when(F.col("event_type") == "error", "NULL").otherwise(F.col("event_type")).alias("Event-Type"),
+        F.when(F.col("value") > 30, F.col("props")).otherwise("").alias("Big Value"),
+    )
+    return clean_tabular(sheet, add_row_number=True)
+
+
 # ------------------------------------------------ training-data ops
 
 def q_exact_dedup(spark, sf_dir):
@@ -419,6 +449,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_region": q_revenue_by_region,
     "topk_customers": q_topk_customers,
+    "completeness_ratio": q_completeness_ratio,
+    "clean_tabular": q_clean_tabular,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
@@ -554,6 +586,31 @@ ORACLES: dict[str, str] = {
         SELECT o_custkey, round(sum(o_totalprice), 2) AS total, count(*) AS n
         FROM orders GROUP BY o_custkey
         ORDER BY total DESC, o_custkey ASC LIMIT 10
+    """,
+    "completeness_ratio": f"""
+        WITH chg AS ({CHG_SQL}),
+        raw AS (SELECT conv_id, count(*) AS raw_rows FROM chg GROUP BY conv_id),
+        silver AS (
+          SELECT conv_id, count(*) AS silver_rows FROM (
+            SELECT * FROM (
+              SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                       ORDER BY lsn DESC, ts DESC) rn FROM chg)
+            WHERE rn = 1 AND op <> 'D') GROUP BY conv_id)
+        SELECT r.conv_id, r.raw_rows,
+               coalesce(s.silver_rows, 0) AS silver_rows,
+               round(coalesce(s.silver_rows, 0) / r.raw_rows, 6) AS completeness
+        FROM raw r LEFT JOIN silver s ON r.conv_id = s.conv_id
+    """,
+    "clean_tabular": """
+        WITH sheet AS (
+          SELECT CAST(event_id AS VARCHAR) AS event_id,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+                 CASE WHEN value > 30 THEN props ELSE NULL END AS big_value
+          FROM events WHERE event_id < 500)
+        SELECT *, CAST(row_number() OVER (
+                 ORDER BY event_id ASC NULLS LAST, event_type ASC NULLS LAST,
+                          big_value ASC NULLS LAST) AS INT) AS _row_number
+        FROM sheet
     """,
     "exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies

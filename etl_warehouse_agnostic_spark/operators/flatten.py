@@ -62,6 +62,39 @@ def promote_first_element(df: DataFrame, array_col: str, fields: list[str], pref
     return out
 
 
+def clean_tabular(df: DataFrame, add_row_number: bool = True) -> DataFrame:
+    """Sheet-range cleaner (P4): drop all-null rows, drop all-null
+    columns, sanitize+dedupe headers, add a stable ``_row_number``.
+    Port of clean_sheet_data, extractors/google_sheets/extractor.py:193-248.
+
+    The all-null column scan is one aggregate pass; the row filter and
+    numbering are narrow/window ops.
+    """
+    from pyspark.sql import Window
+
+    from etl_warehouse_agnostic_spark.functions.scalars import (
+        null_if_dirty,
+        sanitize_column_names,
+    )
+
+    df = sanitize_column_names(df)
+    cleaned = df.select(
+        *[null_if_dirty(F.col(c)).alias(c) if isinstance(df.schema[c].dataType, T.StringType)
+          else F.col(c) for c in df.columns]
+    )
+    non_null_counts = cleaned.agg(
+        *[F.count(F.col(c)).alias(c) for c in cleaned.columns]
+    ).first()
+    keep_cols = [c for c in cleaned.columns if non_null_counts[c] > 0]
+    out = cleaned.select(*keep_cols).where(
+        F.greatest(*[F.col(c).isNotNull().cast("int") for c in keep_cols]) == 1
+    )
+    if add_row_number:
+        w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in keep_cols])
+        out = out.withColumn("_row_number", F.row_number().over(w))
+    return out
+
+
 def explode_json_items(
     df: DataFrame,
     id_col: str,
