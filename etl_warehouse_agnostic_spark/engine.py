@@ -219,7 +219,16 @@ class CdcEngine:
         n_up = observed["rows"] - n_del
         affected = self.table.staged_buckets(staging_dir)
 
-        slice_stats = obs_in.get
+        try:
+            slice_stats = obs_in.get
+        except Exception:
+            # CollectMetrics folded away (local-relation inputs):
+            # recompute slice stats with an explicit agg.
+            aggs = [F.count(F.lit(1)).alias("rows_read"),
+                    F.min("lsn").alias("min_lsn"), F.max("lsn").alias("max_lsn")]
+            if "schema_ver" in changes.columns:
+                aggs.append(F.max("schema_ver").alias("sv_max"))
+            slice_stats = changes.agg(*aggs).first().asDict()
         rows_read = int(slice_stats.get("rows_read") or 0)
         schema_ver_max = int(slice_stats.get("sv_max") or schema_ver_max or 1)
         if lsn_range is None:

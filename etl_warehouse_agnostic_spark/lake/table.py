@@ -222,7 +222,13 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
-        observed = {k: int(v or 0) for k, v in obs.get.items()}
+        try:
+            observed = {k: int(v or 0) for k, v in obs.get.items()}
+        except Exception:
+            # Catalyst can fold tiny local-relation inputs so the
+            # CollectMetrics node never fires (seen with createDataFrame
+            # sources in tests). Recompute from what was written.
+            observed = {"rows": None}
         files: dict[str, list[str]] = {}
         nbytes = 0
         for sub in os.listdir(out_dir):
@@ -234,6 +240,18 @@ class LakeTable:
                     full = os.path.join(out_dir, sub, fn)
                     nbytes += os.path.getsize(full)
                     files.setdefault(b, []).append(os.path.relpath(full, self.path))
+        if observed.get("rows") is None:
+            import pyarrow.parquet as pq
+
+            rows = sum(
+                pq.ParquetFile(os.path.join(self.path, p)).metadata.num_rows
+                for ps in files.values() for p in ps
+            )
+            observed = {"rows": rows}
+            if extra_metrics:
+                written = self.read_bucketed(out_dir, df.drop(_BUCKET).schema)
+                agg = written.agg(*[v.alias(k) for k, v in extra_metrics.items()]).first()
+                observed.update({k: int(agg[k] or 0) for k in extra_metrics})
         return files, observed, nbytes
 
     def _write_epoch_files(

@@ -9,15 +9,17 @@ the engine-level ReplacingMergeTree LWW
 
 Two physical strategies, identical results:
 
-- ``lww_dedup_window``: salted repartition + row_number window. Matches
-  the north rule's wording; the explicit repartition on
-  (key-hash, salt) pre-spreads hot composite keys so the window sort
-  never sees a monster partition.
-- ``lww_dedup_salted``: two-phase ``max_by`` aggregation — a map-side
-  partial combine per (key, salt) then a final combine per key. At
-  10^10 events with a hot conv_id this shuffles a fraction of the data
-  the window variant does and never full-sorts a partition; it is the
-  default at scale.
+- ``lww_dedup_window`` (default): salted repartition + row_number
+  window. The explicit repartition on (key, salt) pre-spreads hot
+  composite keys; Spark ≥3.5's WindowGroupLimit rule then runs a
+  *Partial* top-1-per-key inside each salted partition before the
+  key shuffle and a *Final* pass after (visible in ``.explain``), so
+  the shuffle carries only per-(partition, key) winners — partial-agg
+  pushdown for free, which is why this variant wins benchmarks.
+- ``lww_dedup_salted``: explicit two-phase ``max_by`` aggregation —
+  a combine per (key, salt) then a final per key. Same asymptotics as
+  the window plan; kept as the engine-independent formulation and for
+  engines without WindowGroupLimit.
 """
 
 from __future__ import annotations
