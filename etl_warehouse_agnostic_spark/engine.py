@@ -132,7 +132,15 @@ class CdcEngine:
 
     def recover(self) -> list[int]:
         """Finalize manifests for epochs whose MERGE committed but whose
-        manifest write was lost (crash window). Returns healed epochs."""
+        manifest write was lost (crash window). Returns healed epochs.
+
+        The manifest embedded in the snapshot was serialized *before*
+        the merge ran, so its post-commit metrics are zeroed; backfill
+        them from the snapshot's own summary/fields so a healed manifest
+        has the same shape as a normal-path one. Also sweeps staging
+        dirs of finalized epochs (a crash between merge-commit and
+        finalize leaves ``_staging/e<N>`` behind forever otherwise).
+        """
         healed = []
         for epoch in self.table.committed_epochs():
             if not self.checkpoints.is_finalized(epoch):
@@ -141,9 +149,33 @@ class CdcEngine:
                     continue
                 manifest = snap["summary"].get("manifest")
                 if manifest is not None:
+                    manifest = dict(manifest)
+                    metrics = dict(manifest.get("metrics", {}))
+                    metrics["bytes_written"] = int(snap["summary"].get("bytes_written") or 0)
+                    manifest["metrics"] = metrics
+                    manifest.setdefault("snapshot_version", snap["version"])
+                    manifest.setdefault("committed_at", snap["committed_at"])
                     self.checkpoints.finalize(epoch, manifest)
                     healed.append(epoch)
+        self._sweep_staging()
         return healed
+
+    def _sweep_staging(self) -> None:
+        """Remove staged epoch deltas whose epoch is already finalized —
+        the normal path deletes them post-finalize; this reclaims the
+        leak when a crash lands between merge commit and cleanup."""
+        staging_root = os.path.join(self.table.path, "_staging")
+        if not os.path.isdir(staging_root):
+            return
+        for d in os.listdir(staging_root):
+            if not d.startswith("e"):
+                continue
+            try:
+                epoch = int(d[1:])
+            except ValueError:
+                continue
+            if self.checkpoints.is_finalized(epoch):
+                shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
 
     # ---------------- one epoch ----------------
 

@@ -22,9 +22,13 @@ from pyspark.sql import functions as F
 
 from etl_warehouse_agnostic_spark.functions.scalars import (
     parse_microsoft_json_date,
+    parse_timestamp_best_effort,
+    to_bool_lenient,
+    try_decimal,
 )
 from etl_warehouse_agnostic_spark.operators import dedup_fuzzy, flatten, multimodal, similarity, text
 from etl_warehouse_agnostic_spark.operators.dedup import (
+    lww_dedup_keyed,
     lww_dedup_salted,
     lww_dedup_window,
     split_ops,
@@ -94,6 +98,27 @@ def q_lww_dedup_salted(spark, sf_dir):
 
 
 _LWW_ORACLE = f"SELECT conv_id, turn_idx, op, lsn FROM ({LWW_SQL})"
+
+
+def q_lww_dedup_nulls_last(spark, sf_dir):
+    """W2: coalesce-composite business key + DESC NULLS LAST ordering —
+    the reference's bills.sql dedup shape (null version timestamps must
+    lose to any non-null one)."""
+    chg = _changes(spark, sf_dir)
+    d = chg.withColumn(
+        "ver_ts",
+        F.when(F.col("lsn") % 5 == 0, F.lit(None).cast(chg.schema["ts"].dataType))
+        .otherwise(F.col("ts")),
+    )
+    guid = F.when(F.col("lsn") % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("g:"), F.col("conv_id"))
+    )
+    number = F.concat(F.lit("n:"), F.col("conv_id"))
+    key = F.coalesce(F.nullif(guid, F.lit("")), F.nullif(number, F.lit("")))
+    out = lww_dedup_keyed(
+        d, {"biz_key": key}, ["ver_ts", "lsn"], method="window", nulls_last=True
+    )
+    return out.select("biz_key", "lsn", "op")
 
 
 def q_cdc_final_state(spark, sf_dir):
@@ -327,6 +352,117 @@ def q_clean_tabular(spark, sf_dir):
     return clean_tabular(sheet, add_row_number=True)
 
 
+def q_full_refresh(spark, sf_dir):
+    """S12: full-refresh sink — a second overwrite() REPLACES the first
+    snapshot wholesale (google_sheets extractor semantics)."""
+    from pyspark.sql import types as T  # noqa: F401 (schema via df)
+
+    from etl_warehouse_agnostic_spark.lake.table import LakeTable
+
+    c = load(spark, sf_dir, "customer")
+    proj = c.select("c_custkey", "c_name", "c_acctbal")
+    root = tempfile.mkdtemp(prefix="etlwa-fr-")
+    try:
+        t = LakeTable.create(spark, os.path.join(root, "t"), proj.schema, ["c_custkey"], num_buckets=4)
+        t.overwrite(proj.where(F.col("c_custkey") % 2 == 0), epoch_id=1)  # stale load
+        t.overwrite(proj.where(F.col("c_acctbal") > 0), epoch_id=2)  # the refresh
+        return t.read().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_unwrap_value(spark, sf_dir):
+    """P3: Acumatica ``{'value': x}`` struct unwrap."""
+    c = load(spark, sf_dir, "customer")
+    wrapped = c.select(
+        "c_custkey",
+        F.struct(F.col("c_name").alias("value")).alias("name"),
+        F.struct(F.col("c_acctbal").alias("value")).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return flatten.unwrap_value_fields(wrapped)
+
+
+def q_explode_json_items(spark, sf_dir):
+    """forms_items pattern: JSON array column → one row per item with a
+    stable per-parent ordinal."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
+    js = F.format_string(
+        '[{"field":"etype","value":"%s"},{"field":"uid","value":"%d"}]',
+        F.col("event_type"),
+        F.col("user_id").cast("long"),
+    )
+    df = e.select("event_id", js.alias("items_json"))
+    return flatten.explode_json_items(df, "event_id", "items_json")
+
+
+def q_promote_first_element(spark, sf_dir):
+    """LeafLink primary-contact promotion: first array element's fields
+    → top-level columns; empty array → NULLs."""
+    p = load(spark, sf_dir, "part")
+    elem_t = "array<struct<name:string,brand:string>>"
+    contacts = (
+        F.when(F.col("p_partkey") % 10 == 0, F.array().cast(elem_t))
+        .otherwise(
+            F.array(
+                F.struct(F.col("p_name").alias("name"), F.col("p_brand").alias("brand")),
+                F.struct(F.lit("alt").alias("name"), F.lit("b2").alias("brand")),
+            )
+        )
+    )
+    df = p.select("p_partkey", contacts.alias("contacts"))
+    out = flatten.promote_first_element(df, "contacts", ["name", "brand"], "primary")
+    return out.select("p_partkey", "primary_name", "primary_brand")
+
+
+def q_scalar_battery_2(spark, sf_dir):
+    """§2.8 part 2: lenient bool parse, guarded decimal parse, and
+    best-effort timestamp parse over four generated shapes."""
+    e = load(spark, sf_dir, "events")
+    bool_str = (
+        F.when(F.col("event_type") == "view", "Yes")
+        .when(F.col("event_type") == "click", "1")
+        .when(F.col("event_type") == "purchase", "f")
+        .when(F.col("event_type") == "signup", "no")
+        .otherwise("maybe")
+    )
+    dec_str = (
+        F.when(F.col("event_id") % 3 == 0, "12.5")
+        .when(F.col("event_id") % 3 == 1, "abc")
+        .otherwise("-7")
+    )
+    ts_str = (
+        F.when(F.col("event_id") % 4 == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.format_string("/Date(%d+0000)/", F.unix_millis(F.col("ts").cast("timestamp"))),
+        )
+        .when(F.col("event_id") % 4 == 2, F.date_format("ts", "yyyy/MM/dd HH:mm:ss"))
+        .otherwise(F.lit("not a timestamp"))
+    )
+    return e.select(
+        "event_id",
+        to_bool_lenient(bool_str).alias("b"),
+        try_decimal(dec_str).cast("string").alias("dec_s"),
+        parse_timestamp_best_effort(ts_str).alias("parsed_ts"),
+    )
+
+
+def q_flatten_rules(spark, sf_dir):
+    """P2: rule-based flatten — money struct {amount,currency} → two
+    scalars; array<struct<name,..>> → pipe-joined names + count."""
+    o = load(spark, sf_dir, "orders")
+    df = o.select(
+        "o_orderkey",
+        F.struct(F.col("o_totalprice").alias("amount"), F.lit("USD").alias("currency")).alias("total"),
+        F.array(
+            F.struct(F.col("o_orderstatus").alias("name")),
+            F.struct(F.col("o_orderpriority").alias("name")),
+        ).alias("tags"),
+    )
+    return flatten.flatten_with_rules(df)
+
+
 # ------------------------------------------------ training-data ops
 
 def q_exact_dedup(spark, sf_dir):
@@ -433,6 +569,7 @@ def q_cdc_engine_e2e(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lww_dedup_window": q_lww_dedup_window,
     "lww_dedup_salted": q_lww_dedup_salted,
+    "lww_dedup_nulls_last": q_lww_dedup_nulls_last,
     "cdc_final_state": q_cdc_final_state,
     "merge_upsert": q_merge_upsert,
     "dup_batch_anti_join": q_dup_batch_anti_join,
@@ -451,6 +588,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_customers": q_topk_customers,
     "completeness_ratio": q_completeness_ratio,
     "clean_tabular": q_clean_tabular,
+    "full_refresh": q_full_refresh,
+    "unwrap_value": q_unwrap_value,
+    "explode_json_items": q_explode_json_items,
+    "promote_first_element": q_promote_first_element,
+    "scalar_battery_2": q_scalar_battery_2,
+    "flatten_rules": q_flatten_rules,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
@@ -473,6 +616,19 @@ _STOP = "['the','a','and','of','to','in','is','it','that','for']"
 ORACLES: dict[str, str] = {
     "lww_dedup_window": _LWW_ORACLE,
     "lww_dedup_salted": _LWW_ORACLE,
+    "lww_dedup_nulls_last": f"""
+        WITH en AS (
+          SELECT *,
+                 coalesce(nullif(CASE WHEN lsn % 7 = 0 THEN '' ELSE 'g:' || conv_id END, ''),
+                          nullif('n:' || conv_id, '')) AS biz_key,
+                 CASE WHEN lsn % 5 = 0 THEN NULL ELSE ts END AS ver_ts
+          FROM ({CHG_SQL}))
+        SELECT biz_key, lsn, op FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY biz_key
+            ORDER BY ver_ts DESC NULLS LAST, lsn DESC NULLS LAST) AS rn
+          FROM en) WHERE rn = 1
+    """,
     "cdc_final_state": f"SELECT conv_id, turn_idx, role, text, lsn FROM ({LWW_SQL}) WHERE op <> 'D'",
     "merge_upsert": f"""
         WITH base AS (
@@ -504,10 +660,13 @@ ORACLES: dict[str, str] = {
                count(*) AS rows, max(ts) AS max_ts
         FROM ({CHG_SQL}) GROUP BY 1
     """,
+    # NB: DuckDB sum(int) is HUGEINT (int128) — fetched as float64 via
+    # pandas/arrow, which breaks the driver's value-hash against Spark's
+    # BIGINT. Every integer sum in an oracle must be CAST(... AS BIGINT).
     "dq_checks": """
         SELECT event_type, count(*) AS n,
                count(*) - count(DISTINCT user_id) AS dup_users,
-               sum(CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END) AS bad_value_cnt,
+               CAST(sum(CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_value_cnt,
                max(ts) AS freshest,
                count(DISTINCT user_id) AS distinct_users
         FROM events GROUP BY event_type
@@ -611,6 +770,48 @@ ORACLES: dict[str, str] = {
                  ORDER BY event_id ASC NULLS LAST, event_type ASC NULLS LAST,
                           big_value ASC NULLS LAST) AS INT) AS _row_number
         FROM sheet
+    """,
+    "full_refresh": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 0
+    """,
+    "unwrap_value": """
+        SELECT c_custkey, c_name AS name, c_acctbal AS acctbal,
+               c_mktsegment AS segment
+        FROM customer
+    """,
+    "explode_json_items": """
+        SELECT event_id, 1 AS item_ordinal, 'etype' AS field, event_type AS value
+        FROM events WHERE event_id <= 2000
+        UNION ALL
+        SELECT event_id, 2 AS item_ordinal, 'uid' AS field, CAST(user_id AS VARCHAR) AS value
+        FROM events WHERE event_id <= 2000
+    """,
+    "promote_first_element": """
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 10 = 0 THEN NULL ELSE p_name END AS primary_name,
+               CASE WHEN p_partkey % 10 = 0 THEN NULL ELSE p_brand END AS primary_brand
+        FROM part
+    """,
+    "scalar_battery_2": """
+        SELECT event_id,
+               CASE event_type WHEN 'view' THEN TRUE WHEN 'click' THEN TRUE
+                    WHEN 'purchase' THEN FALSE WHEN 'signup' THEN FALSE
+                    ELSE NULL END AS b,
+               CASE WHEN event_id % 3 = 0 THEN CAST(CAST('12.5' AS DECIMAL(18,2)) AS VARCHAR)
+                    WHEN event_id % 3 = 1 THEN NULL
+                    ELSE CAST(CAST('-7' AS DECIMAL(18,2)) AS VARCHAR) END AS dec_s,
+               CASE WHEN event_id % 4 IN (0, 2) THEN date_trunc('second', ts)
+                    WHEN event_id % 4 = 1 THEN make_timestamp(epoch_ms(ts) * 1000)
+                    ELSE NULL END AS parsed_ts
+        FROM events
+    """,
+    "flatten_rules": """
+        SELECT o_orderkey,
+               o_totalprice AS total_amount,
+               'USD' AS total_currency,
+               o_orderstatus || '|' || o_orderpriority AS tags_names,
+               2 AS tags_count
+        FROM orders
     """,
     "exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -349,9 +349,18 @@ class LakeTable:
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg-style maintenance: drop snapshot metadata older than
-        the newest ``keep_last`` versions and delete data files no
-        retained snapshot references. Committed-epoch ids are carried
+        the newest ``keep_last`` versions and delete the data files those
+        *expired* snapshots referenced (minus anything a retained
+        snapshot still references). Committed-epoch ids are carried
         forward in the newest snapshot, so exactly-once survives expiry.
+
+        Deliberately does NOT touch unreferenced files it has never seen
+        in a snapshot: with optimistic multi-writer commits, an in-flight
+        merge writes its data files *before* committing, and a
+        delete-everything-unreferenced sweep racing that write would
+        commit a snapshot pointing at deleted files. Crashed writers'
+        leftovers are reclaimed by ``remove_orphan_files`` under an mtime
+        grace window instead (Iceberg's remove_orphan_files semantics).
         """
         latest = self.latest_version()
         if latest is None:
@@ -364,24 +373,56 @@ class LakeTable:
         for v in keep_versions:
             for paths in self.snapshot(v)["files"].values():
                 referenced.update(paths)
+        expired_refs: set[str] = set()
+        expired_meta = []
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("v") and f.endswith(".json") and int(f[1:9]) not in keep_versions:
+                expired_meta.append(f)
+                for paths in self.snapshot(int(f[1:9]))["files"].values():
+                    expired_refs.update(paths)
         removed_files = 0
+        for rel in expired_refs - referenced:
+            full = os.path.join(self.path, rel)
+            if os.path.exists(full):
+                os.unlink(full)
+                removed_files += 1
+        removed_snaps = 0
+        for f in expired_meta:
+            os.unlink(os.path.join(self.meta_dir, f))
+            removed_snaps += 1
+        self._prune_empty_dirs()
+        return {"removed_snapshots": removed_snaps, "removed_files": removed_files}
+
+    def remove_orphan_files(self, grace_seconds: float = 3600.0) -> dict:
+        """Delete data files referenced by NO snapshot and older than
+        ``grace_seconds`` (so an in-flight writer's fresh files survive).
+        Run it like Iceberg's remove_orphan_files: rarely, with a grace
+        window comfortably above the longest plausible commit latency."""
+        referenced: set[str] = set()
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                for paths in self.snapshot(int(f[1:9]))["files"].values():
+                    referenced.update(paths)
+        cutoff = time.time() - grace_seconds
+        removed = 0
         for root, _, files in os.walk(self.data_dir):
             for fn in files:
                 full = os.path.join(root, fn)
                 rel = os.path.relpath(full, self.path)
-                if fn.endswith(".parquet") and rel not in referenced:
+                if (
+                    fn.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(full) < cutoff
+                ):
                     os.unlink(full)
-                    removed_files += 1
-        removed_snaps = 0
-        for f in os.listdir(self.meta_dir):
-            if f.startswith("v") and f.endswith(".json") and int(f[1:9]) not in keep_versions:
-                os.unlink(os.path.join(self.meta_dir, f))
-                removed_snaps += 1
-        # prune now-empty epoch dirs
+                    removed += 1
+        self._prune_empty_dirs()
+        return {"removed_files": removed}
+
+    def _prune_empty_dirs(self) -> None:
         for root, dirs, files in os.walk(self.data_dir, topdown=False):
             if not dirs and not files and root != self.data_dir:
                 os.rmdir(root)
-        return {"removed_snapshots": removed_snaps, "removed_files": removed_files}
 
     def merge(
         self,

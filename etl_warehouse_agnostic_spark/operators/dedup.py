@@ -30,24 +30,44 @@ from pyspark.sql import functions as F
 from etl_warehouse_agnostic_spark.functions.scalars import salt_of
 
 
-def _order_struct(df: DataFrame, order_by: list[str]) -> Column:
+ColumnOrName = Column | str
+
+
+def _as_col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _order_struct(
+    df: DataFrame, order_by: list[ColumnOrName], nulls_last: bool = False
+) -> Column:
     """Composite LWW ordering key: max (lsn, ts, ...) wins.
 
-    Ties beyond the given columns are broken by a stable content hash of
-    the whole row (reference tiebreak ``record_hash DESC``,
-    dbt/models/curated/repsly/client_notes.sql:21) so dedup is
-    deterministic under replay.
+    ``nulls_last=True`` reproduces ``ORDER BY v DESC NULLS LAST``
+    (dbt/models/curated/acumatica/bills.sql:60-77): each order column is
+    preceded by its ``isNotNull()`` flag, so under struct-max a NULL
+    version always loses to any non-null one, and two NULLs fall through
+    to the next column. Ties beyond the given columns are broken by a
+    stable content hash of the whole row (reference tiebreak
+    ``record_hash DESC``, dbt/models/curated/repsly/client_notes.sql:21)
+    so dedup is deterministic under replay.
     """
+    parts: list[Column] = []
+    for i, c in enumerate(order_by):
+        col = _as_col(c)
+        if nulls_last:
+            parts.append(col.isNotNull().alias(f"_nn{i}"))
+        parts.append(col.alias(f"_o{i}"))
     tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
-    return F.struct(*[F.col(c) for c in order_by], tiebreak.alias("_tb"))
+    return F.struct(*parts, tiebreak.alias("_tb"))
 
 
 def lww_dedup_window(
     df: DataFrame,
     keys: list[str],
-    order_by: list[str],
+    order_by: list[ColumnOrName],
     num_salts: int = 16,
     shuffle_partitions: int | None = None,
+    nulls_last: bool = False,
 ) -> DataFrame:
     """Window-based LWW: salted repartition, then row_number()==1.
 
@@ -58,7 +78,7 @@ def lww_dedup_window(
     salted = df.withColumn("_salt", salt_of(*keys, num_salts=num_salts))
     n = shuffle_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     salted = salted.repartition(int(n), *[F.col(k) for k in keys], F.col("_salt"))
-    w = Window.partitionBy(*keys).orderBy(_order_struct(df, order_by).desc())
+    w = Window.partitionBy(*keys).orderBy(_order_struct(df, order_by, nulls_last).desc())
     return (
         salted.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -69,15 +89,16 @@ def lww_dedup_window(
 def lww_dedup_salted(
     df: DataFrame,
     keys: list[str],
-    order_by: list[str],
+    order_by: list[ColumnOrName],
     num_salts: int = 16,
+    nulls_last: bool = False,
 ) -> DataFrame:
     """Two-phase max_by LWW (partial combine per (key, salt), final per
     key). Equivalent to the window variant; preferred at scale because
     phase 1 collapses hot keys before the second (tiny) shuffle and no
     partition is ever sorted whole."""
     payload = [c for c in df.columns if c not in keys]
-    ord_col = _order_struct(df, order_by)
+    ord_col = _order_struct(df, order_by, nulls_last)
     salted = df.withColumn("_salt", salt_of(*keys, num_salts=num_salts, seed=23))
     phase1 = salted.groupBy(*keys, "_salt").agg(
         F.max_by(F.struct(*[F.col(c) for c in payload]), ord_col).alias("_p"),
@@ -92,15 +113,47 @@ def lww_dedup_salted(
 def lww_dedup(
     df: DataFrame,
     keys: list[str],
-    order_by: list[str],
+    order_by: list[ColumnOrName],
     method: str = "salted",
     num_salts: int = 16,
+    nulls_last: bool = False,
 ) -> DataFrame:
     if method == "window":
-        return lww_dedup_window(df, keys, order_by, num_salts=num_salts)
+        return lww_dedup_window(df, keys, order_by, num_salts=num_salts, nulls_last=nulls_last)
     if method == "salted":
-        return lww_dedup_salted(df, keys, order_by, num_salts=num_salts)
+        return lww_dedup_salted(df, keys, order_by, num_salts=num_salts, nulls_last=nulls_last)
     raise ValueError(f"unknown dedup method {method!r}")
+
+
+def lww_dedup_keyed(
+    df: DataFrame,
+    key_exprs: dict[str, Column],
+    order_by: list[ColumnOrName],
+    method: str = "window",
+    num_salts: int = 16,
+    nulls_last: bool = False,
+    keep_keys: bool = True,
+) -> DataFrame:
+    """LWW dedup on *computed* business keys — the reference's
+    coalesce-composite-key shape (dbt/models/curated/acumatica/
+    bills.sql:60-77, sales_orders.sql:30-31)::
+
+        PARTITION BY coalesce(nullif(guid, ''), nullif(number, ''))
+        ORDER BY version_ts DESC NULLS LAST, lsn DESC
+
+    ``key_exprs`` maps output column name → key Column expression; the
+    keys are materialized once, the dedup runs on the named columns
+    (same salted physical plans as the string-key variants), and the key
+    columns are kept (default) or dropped.
+    """
+    tmp = df
+    for name, expr in key_exprs.items():
+        tmp = tmp.withColumn(name, expr)
+    out = lww_dedup(
+        tmp, list(key_exprs), order_by,
+        method=method, num_salts=num_salts, nulls_last=nulls_last,
+    )
+    return out if keep_keys else out.drop(*key_exprs)
 
 
 def split_ops(deduped: DataFrame, op_col: str = "op") -> tuple[DataFrame, DataFrame]:

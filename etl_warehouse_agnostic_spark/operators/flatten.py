@@ -40,6 +40,39 @@ def flatten_structs(df: DataFrame, sep: str = "_", max_depth: int = 10) -> DataF
     return df
 
 
+def flatten_with_rules(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Rule-based flatten (P2) — the reference's special-cased record
+    shapes (flatten_leaflink_record, extractors/leaflink/extractor.py:592-740),
+    detected from the schema and applied before the generic flatten:
+
+    - **money rule**: a struct whose fields are exactly
+      ``{amount, currency}`` becomes ``<col>_amount`` + ``<col>_currency``
+      (reference :592-740's ``{'amount': .., 'currency': ..}`` handling);
+    - **named-list rule**: an ``array<struct<...name...>>`` becomes
+      ``<col>_names`` = pipe-joined ``name`` fields plus ``<col>_count``
+      (reference tags handling, :675-677:
+      ``'|'.join(t['name'] for t in tags)``);
+    - everything else falls through to :func:`flatten_structs`.
+    """
+    cols: list[Column] = []
+    for f in df.schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.StructType) and sorted(x.name for x in dt.fields) == ["amount", "currency"]:
+            cols.append(F.col(f"`{f.name}`.amount").alias(f"{f.name}{sep}amount"))
+            cols.append(F.col(f"`{f.name}`.currency").alias(f"{f.name}{sep}currency"))
+        elif (
+            isinstance(dt, T.ArrayType)
+            and isinstance(dt.elementType, T.StructType)
+            and "name" in [x.name for x in dt.elementType.fields]
+        ):
+            names = F.transform(F.col(f"`{f.name}`"), lambda t: t.getField("name"))
+            cols.append(F.array_join(names, "|").alias(f"{f.name}{sep}names"))
+            cols.append(F.size(f"`{f.name}`").alias(f"{f.name}{sep}count"))
+        else:
+            cols.append(F.col(f"`{f.name}`"))
+    return flatten_structs(df.select(*cols), sep=sep)
+
+
 def unwrap_value_fields(df: DataFrame) -> DataFrame:
     """Acumatica-style ``{'value': x}`` unwrap: any struct with a single
     ``value`` field becomes the scalar (extractors/acumatica/extractor.py:85-98)."""
@@ -62,16 +95,66 @@ def promote_first_element(df: DataFrame, array_col: str, fields: list[str], pref
     return out
 
 
+def global_row_number(
+    df: DataFrame,
+    sort_cols: list[Column],
+    out_col: str = "_row_number",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered 1-based row numbers WITHOUT a single-partition
+    window (``Window.orderBy`` with no partitionBy collapses the whole
+    input into one task — a scale-killer).
+
+    Scheme: range-repartition on the sort key (the same distributed
+    sort a global orderBy plans), sort within partitions, then number
+    as ``monotonically_increasing_id`` offsets + per-partition base
+    offsets from a tiny (≤ num_partitions rows) census. Two passes over
+    the data, both fully parallel. Determinism note: both passes replay
+    the same range exchange; Spark's RangePartitioner samples with a
+    fixed per-partition seed, so boundaries are stable for a given
+    input.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+    )
+    # census: rows + first mono-id per physical partition (mono-ids are
+    # consecutive within a partition, so rank = _mid - min_mid)
+    stats = sorted(
+        ranged.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("_n"), F.min("_mid").alias("_mn")
+        ).collect(),
+        key=lambda r: r["_pid"],
+    )
+    base = 0
+    entries: list[Column] = []
+    for r in stats:
+        entries.append(F.lit(int(r["_pid"])))
+        entries.append(F.struct(F.lit(base).alias("off"), F.lit(int(r["_mn"])).alias("mn")))
+        base += int(r["_n"])
+    if not entries:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    m = F.create_map(*entries)
+    rn = (F.col("_mid") - m[F.col("_pid")]["mn"] + m[F.col("_pid")]["off"] + 1).cast("int")
+    return ranged.withColumn(out_col, rn).drop("_pid", "_mid")
+
+
 def clean_tabular(df: DataFrame, add_row_number: bool = True) -> DataFrame:
     """Sheet-range cleaner (P4): drop all-null rows, drop all-null
     columns, sanitize+dedupe headers, add a stable ``_row_number``.
     Port of clean_sheet_data, extractors/google_sheets/extractor.py:193-248.
 
-    The all-null column scan is one aggregate pass; the row filter and
-    numbering are narrow/window ops.
+    The all-null column scan is one aggregate pass; the row filter is a
+    narrow op; numbering uses ``global_row_number`` (range-partitioned,
+    no single-partition exchange).
     """
-    from pyspark.sql import Window
-
     from etl_warehouse_agnostic_spark.functions.scalars import (
         null_if_dirty,
         sanitize_column_names,
@@ -86,12 +169,17 @@ def clean_tabular(df: DataFrame, add_row_number: bool = True) -> DataFrame:
         *[F.count(F.col(c)).alias(c) for c in cleaned.columns]
     ).first()
     keep_cols = [c for c in cleaned.columns if non_null_counts[c] > 0]
-    out = cleaned.select(*keep_cols).where(
-        F.greatest(*[F.col(c).isNotNull().cast("int") for c in keep_cols]) == 1
-    )
+    if not keep_cols:  # every column all-null → empty sheet
+        out = cleaned.where(F.lit(False))
+        if add_row_number:
+            out = out.withColumn("_row_number", F.lit(None).cast("int"))
+        return out
+    any_non_null = F.lit(False)
+    for c in keep_cols:  # OR-chain works for a single surviving column
+        any_non_null = any_non_null | F.col(c).isNotNull()
+    out = cleaned.select(*keep_cols).where(any_non_null)
     if add_row_number:
-        w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in keep_cols])
-        out = out.withColumn("_row_number", F.row_number().over(w))
+        out = global_row_number(out, [F.col(c).asc_nulls_last() for c in keep_cols])
     return out
 
 

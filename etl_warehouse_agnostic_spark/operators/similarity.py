@@ -88,6 +88,55 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    sample_size: int = 4096,
+    iters: int = 8,
+) -> DataFrame:
+    """Spherical k-means (Lloyd) centroid training on a bounded,
+    deterministic corpus sample — the IVF coarse quantizer.
+
+    The sample is the ``sample_size`` rows with the smallest
+    ``xxhash64(id)`` — a distributed top-k (TakeOrderedAndProject:
+    per-partition heaps merged on the driver, NO global single-partition
+    sort), deterministic for a given corpus. Training runs in numpy on
+    the driver — O(sample·k·dim) flops on ≤ a few thousand rows,
+    independent of corpus size — then the k centroids are broadcast
+    back. This is the standard IVF training recipe (train on a sample,
+    assign everything); initialization is k evenly spaced rows of the
+    hash-ordered sample, so the whole pipeline is deterministic.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+    k = min(k, len(X))
+    init_idx = np.linspace(0, len(X) - 1, num=k).astype(int)
+    C = X[init_idx].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                c = pts.mean(axis=0)
+                n = float(np.linalg.norm(c))
+                if n > 1e-12:
+                    C[j] = c / n
+    data = [(int(j), [float(x) for x in C[j]]) for j in range(k)]
+    return corpus.sparkSession.createDataFrame(
+        data, f"centroid_id int, {vec_col} array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -96,15 +145,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    sample_size: int = 4096,
+    train_iters: int = 8,
 ) -> DataFrame:
-    """IVF approximate top-k: centroids are the first ``num_centroids``
-    corpus vectors by id (deterministic, no training dependency);
-    queries probe their ``nprobe`` nearest cells only."""
-    w_c = Window.orderBy(F.asc(id_col))
-    cents = (
-        corpus.withColumn("_rn", F.row_number().over(w_c))
-        .where(F.col("_rn") <= num_centroids)
-        .select(F.col("_rn").alias("centroid_id"), F.col(vec_col))
+    """IVF approximate top-k: corpus vectors are bucketed to their
+    nearest trained centroid (:func:`kmeans_centroids`); a query probes
+    only its ``nprobe`` nearest cells, scanning ~nprobe/num_centroids of
+    the corpus."""
+    cents = kmeans_centroids(
+        corpus, id_col, vec_col, k=num_centroids,
+        sample_size=sample_size, iters=train_iters,
     )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 

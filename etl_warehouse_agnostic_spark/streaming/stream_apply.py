@@ -32,6 +32,10 @@ Design notes (scale):
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+
 from pyspark.sql import DataFrame
 
 from etl_warehouse_agnostic_spark.engine import CdcEngine
@@ -51,10 +55,37 @@ class StreamingCdcApply:
         self.checkpoint_location = checkpoint_location
         self.max_files_per_trigger = max_files_per_trigger
         # Offset epoch ids past whatever the batch path already applied.
-        self.epoch_base = (
-            epoch_base if epoch_base is not None
-            else (engine.checkpoints.last_epoch() or 0)
+        # The base is PINNED on first start (persisted beside the
+        # streaming checkpoint): re-deriving it from last_epoch() after a
+        # crash would hand a replayed batch_id a fresh epoch id and
+        # silently bypass the epoch-id exactly-once check (the batch
+        # would be re-applied; correct only via LWW content idempotence,
+        # with duplicate epochs in the manifests).
+        self.epoch_base = self._pin_epoch_base(epoch_base)
+
+    def _pin_epoch_base(self, explicit: int | None) -> int:
+        os.makedirs(self.checkpoint_location, exist_ok=True)
+        pin = os.path.join(self.checkpoint_location, "epoch_base.json")
+        if os.path.exists(pin):
+            with open(pin) as f:
+                return int(json.load(f)["epoch_base"])
+        base = (
+            explicit if explicit is not None
+            else (self.engine.checkpoints.last_epoch() or 0)
         )
+        tmp = os.path.join(self.checkpoint_location, f"_tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"epoch_base": base}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, pin)  # first starter wins; losers re-read
+        except FileExistsError:
+            with open(pin) as f:
+                base = int(json.load(f)["epoch_base"])
+        finally:
+            os.unlink(tmp)
+        return base
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self.engine.apply_epoch(batch_df, epoch=self.epoch_base + batch_id + 1)

@@ -8,7 +8,6 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import datetime
-import math
 import os
 import sys
 import time
@@ -24,19 +23,27 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_val(v):
+    # Byte-faithful comparison: no tz-stripping, no float re-rendering.
+    # Round-1 lesson: a %.9g/tz-strip normalization here green-lit
+    # dq_checks locally while the driver's hash (full-fidelity) failed
+    # it. If the engines disagree in the last bit, we must fail too.
     if v is None:
         return "∅"
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
+        return repr(v)
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_val(x) for x in v) + "]"
     return str(v)
+
+
+# DuckDB types whose Python/pandas conversion diverges between fetch
+# paths (fetchall→int vs .df()→float64). An oracle emitting one of
+# these can pass locally yet hash-mismatch on the driver: force a CAST.
+_RISKY_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
 
 
 def canon(rows, cols):
@@ -73,12 +80,19 @@ def main():
         try:
             rel = con.sql(sql)
             du_cols = [c.lower() for c in rel.columns]
+            du_types = [str(t) for t in rel.types]
             du_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
+        risky = [c for c, t in zip(du_cols, du_types) if str(t).upper() in _RISKY_DUCK_TYPES]
+        if risky:
+            problems.append(
+                f"oracle emits {risky} as HUGEINT — CAST(... AS BIGINT) it "
+                "(driver fetch path renders int128 as float)"
+            )
         if sorted(c.lower() for c in sp_cols) != sorted(du_cols):
             problems.append(f"cols spark={sorted(sp_cols)} duck={sorted(du_cols)}")
         if len(sp_rows) != len(du_rows):
