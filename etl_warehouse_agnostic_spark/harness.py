@@ -499,6 +499,51 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, num_centroids=8, nprobe=2, k=3)
 
 
+def q_ivf_recall(spark, sf_dir):
+    """IVF quality gate: measured recall@3 of the k-means IVF index vs
+    the exact brute-force baseline, hashed against a stated floor. The
+    oracle re-derives n_pairs from the brute-force SQL and asserts the
+    floor — a driver-hashable property check for an approximate op."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=3).select("query_id", "neighbor_id")
+    approx = (
+        similarity.ivf_topk(emb, queries, num_centroids=8, nprobe=5, k=3)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)) >= F.lit(0.8)
+        ).alias("recall_ge_080"),
+    )
+
+
+def q_simhash_recall(spark, sf_dir):
+    """SimHash quality gate: of the exact-Jaccard near-dup pairs
+    (jaccard ≥ 0.5), the fraction also found by simhash_near_pairs at
+    hamming ≤ 8 must clear 0.8. n_true is SQL-derivable; the floor is
+    the hashed assertion."""
+    d = load(spark, sf_dir, "documents")
+    true_pairs = dedup_fuzzy.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=2, threshold=0.5
+    ).select("a", "b")
+    found = (
+        dedup_fuzzy.simhash_near_pairs(d, "doc_id", "text", max_hamming=8)
+        .select("a", "b")
+        .withColumn("_hit", F.lit(1))
+    )
+    marked = true_pairs.join(found, ["a", "b"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        (
+            F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)) >= F.lit(0.8)
+        ).alias("recall_ge_080"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return text.quality_score(d, "doc_id", "text")
@@ -600,6 +645,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_recall": q_ivf_recall,
+    "simhash_recall": q_simhash_recall,
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
@@ -909,4 +956,30 @@ ORACLES: dict[str, str] = {
     "cdc_engine_e2e": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
     # simhash_pairs / ivf_topk: intentionally no oracle (bit-twiddling /
     # approximate path not portably expressible) → rows-only check.
+    # Their QUALITY is oracle-gated instead via ivf_recall /
+    # simhash_recall below: the oracle re-derives the denominator with
+    # exact SQL and asserts the measured recall floor as a literal, so
+    # the driver hash fails iff the approximate index loses recall.
 }
+
+ORACLES["ivf_recall"] = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_pairs, TRUE AS recall_ge_080 "
+    f"FROM ({ORACLES['cosine_topk']})"
+)
+
+ORACLES["simhash_recall"] = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s AS shingle FROM (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS s
+        FROM (SELECT doc_id, {_WORDS} AS w FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i))
+      WHERE length(s) > 0),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_080
+    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+"""
