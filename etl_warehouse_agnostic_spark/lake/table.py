@@ -91,6 +91,12 @@ class LakeTable:
         self.path = os.path.abspath(path)
         self.meta_dir = os.path.join(self.path, "_meta")
         self.data_dir = os.path.join(self.path, "data")
+        # Upper bound on rows per data file (Spark maxRecordsPerFile).
+        # At 10^10-row scale one-file-per-bucket writes would produce
+        # multi-GB files; this splits them. rewrite_small_files is the
+        # inverse (bin-packs the fragments the splitting leaves behind
+        # in rarely-touched buckets).
+        self.max_records_per_file: int | None = None
 
     # ---------------- snapshot bookkeeping ----------------
 
@@ -210,7 +216,7 @@ class LakeTable:
         metrics = {"rows": F.count(F.lit(1)).alias("rows")}
         for k, v in (extra_metrics or {}).items():
             metrics[k] = v.alias(k)
-        (
+        writer = (
             df.withColumn(_PB, F.col(_BUCKET))
             .observe(obs, *metrics.values())
             .repartition(F.col(_BUCKET))
@@ -220,8 +226,10 @@ class LakeTable:
             .sortWithinPartitions(_PB, *self.key_cols)
             .write.partitionBy(_PB)
             .mode("overwrite")
-            .parquet(out_dir)
         )
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
+        writer.parquet(out_dir)
         try:
             observed = {k: int(v or 0) for k, v in obs.get.items()}
         except Exception:
@@ -423,6 +431,90 @@ class LakeTable:
         for root, dirs, files in os.walk(self.data_dir, topdown=False):
             if not dirs and not files and root != self.data_dir:
                 os.rmdir(root)
+
+    def rewrite_small_files(
+        self, target_file_bytes: int = 128 * 1024 * 1024, min_files: int = 2
+    ) -> dict:
+        """Compaction (Iceberg rewrite_data_files / MergeTree background
+        merge analog): bin-pack each bucket whose file set is fragmented
+        — ≥ ``min_files`` files AND an average file size below
+        ``target_file_bytes`` — into a fresh single file set, committed
+        as one atomic snapshot. Logical content is untouched (proven by
+        test: content hash identical before/after); committed-epoch ids
+        carry forward, so exactly-once survives compaction.
+
+        Needed because a copy-on-write table accumulates one file set
+        per epoch per touched bucket: at 10^10 rows × thousands of
+        epochs the scan cost becomes file-count-bound without this.
+        Candidate selection is driver-side metadata only; the rewrite
+        reads and writes ONLY the fragmented buckets.
+        """
+        cur = self.snapshot()
+        candidates: list[int] = []
+        for b, paths in cur["files"].items():
+            if len(paths) < min_files:
+                continue
+            sizes = [os.path.getsize(os.path.join(self.path, p)) for p in paths]
+            if sum(sizes) / len(sizes) < target_file_bytes:
+                candidates.append(int(b))
+        if not candidates:
+            return {"buckets_compacted": 0, "files_before": 0, "files_after": 0, "version": cur["version"]}
+        files_before = sum(len(cur["files"][str(b)]) for b in candidates)
+        data = self._read_files(cur, buckets=candidates)  # carries _bucket
+        tag = f"c{cur['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"
+        saved_mrpf = self.max_records_per_file
+        self.max_records_per_file = None  # bin-pack: fewest files per bucket
+        try:
+            files, observed, nbytes = self.write_bucketed(data, os.path.join(self.data_dir, tag))
+        finally:
+            self.max_records_per_file = saved_mrpf
+        snap = self._next_snapshot(cur, "compact")
+        for b in candidates:
+            snap["files"].pop(str(b), None)
+        snap["files"].update(files)
+        files_after = sum(len(v) for v in files.values())
+        snap["summary"].update(
+            {"rows_written": observed["rows"], "bytes_written": nbytes,
+             "buckets_compacted": len(candidates),
+             "files_before": files_before, "files_after": files_after}
+        )
+        v = self._commit(snap)
+        return {
+            "buckets_compacted": len(candidates),
+            "files_before": files_before,
+            "files_after": files_after,
+            "version": v,
+        }
+
+    def rebucket(self, new_num_buckets: int) -> dict:
+        """Bucket-count evolution: full rewrite of the table into
+        ``new_num_buckets`` hash buckets, committed as one atomic
+        snapshot. The escape hatch for a table created small that grew
+        10^3×: a 64-bucket layout cannot spread a 10^10-row table over
+        thousands of executors, and bucket ids are baked into file
+        layout, so this is necessarily a full-table job — run it like
+        Iceberg's ``rewrite_data_files`` with a partition-spec change.
+        Readers see old or new layout atomically; committed epochs and
+        schema carry forward unchanged.
+        """
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        cur = self.snapshot()
+        data = self._read_files(cur).drop(_BUCKET)
+        data = data.withColumn(
+            _BUCKET, bucket_of(cur["key_cols"][0], new_num_buckets)
+        )
+        tag = f"r{cur['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"
+        files, observed, nbytes = self.write_bucketed(data, os.path.join(self.data_dir, tag))
+        snap = self._next_snapshot(cur, "rebucket")
+        snap["num_buckets"] = new_num_buckets
+        snap["files"] = files
+        snap["summary"].update(
+            {"rows_written": observed["rows"], "bytes_written": nbytes,
+             "old_num_buckets": cur["num_buckets"], "new_num_buckets": new_num_buckets}
+        )
+        v = self._commit(snap)
+        return {"version": v, "num_buckets": new_num_buckets, "rows": observed["rows"]}
 
     def merge(
         self,

@@ -119,10 +119,19 @@ def test_crash_between_commit_and_manifest(spark, tmpdir_path, changes_path):
     # simulate crash: drop epoch 2's manifest (commit already durable)
     os.unlink(eng.checkpoints._file(2))
     assert not eng.checkpoints.is_finalized(2)
+    # leak a staged delta for the "crashed" epoch (normal path removes it)
+    staging = os.path.join(eng.table.path, "_staging", "e00000002")
+    os.makedirs(os.path.join(staging, "_pb=0"), exist_ok=True)
     healed = eng.recover()
     assert healed == [2]
     m = eng.checkpoints.get(2)
     assert m["lineage"]["lsn_range"] == [1000, 2000]
+    # healed manifest is shaped like a normal-path one: post-commit
+    # metrics backfilled from the snapshot summary, not zeroed
+    assert m["metrics"]["bytes_written"] > 0
+    assert m["snapshot_version"] == eng.table.epoch_snapshot(2)["version"]
+    assert "committed_at" in m
+    assert not os.path.exists(staging)  # recover swept the leak
     v_after_heal = eng.table.latest_version()
     eng.run(src, epoch_size=1000)  # finish the stream
     assert table_state(eng.table) == [tuple(r) for r in oracle_final_state(changes_path)]

@@ -1,11 +1,23 @@
-"""Snapshot expiry: old files GC'd, retained reads intact,
-exactly-once survives expiry."""
+"""Table maintenance: snapshot expiry, orphan GC, compaction,
+bucket-count evolution — content and exactly-once must survive all of
+them."""
 
 import os
 
 from etl_warehouse_agnostic_spark.lake.table import LakeTable
 from etl_warehouse_agnostic_spark.schemas import KEY_COLS, TRANSCRIPTS_SCHEMA_V1
 from etl_warehouse_agnostic_spark.sources.generator import generate_base_transcripts
+
+
+def _content_hash(df):
+    """Order-insensitive content fingerprint of a DataFrame."""
+    from pyspark.sql import functions as F
+
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in sorted(df.columns)]
+    row = df.select(F.xxhash64(*cols).cast("decimal(38,0)").alias("h")).agg(
+        F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")
+    ).first()
+    return (row["s"], row["n"])
 
 
 def _all_parquet(root):
@@ -43,3 +55,110 @@ def test_expire_snapshots(spark, tmpdir_path):
         epoch_id=2,
     )
     assert r.skipped
+
+
+def test_expire_spares_unreferenced_inflight_files(spark, tmpdir_path):
+    """A racing writer's pre-commit data files must survive expiry
+    (optimistic multi-writer safety); remove_orphan_files reclaims them
+    only past the grace window."""
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=2
+    )
+    t.overwrite(generate_base_transcripts(spark, n_convs=4, turns_per_conv=2))
+    t.merge(
+        spark.createDataFrame(
+            [("conv_00000001", 0, "user", "v1", None)],
+            "conv_id string, turn_idx int, role string, text string, ts timestamp",
+        ),
+        epoch_id=1,
+    )
+    # simulate an in-flight writer: a data file not yet in any snapshot
+    inflight_dir = os.path.join(t.data_dir, "e99999999-deadbeef", "_pb=0")
+    os.makedirs(inflight_dir)
+    inflight = os.path.join(inflight_dir, "part-inflight.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"PAR1fake")
+    t.expire_snapshots(keep_last=1)
+    assert os.path.exists(inflight), "expiry must not delete never-referenced files"
+    # orphan GC: young file survives the grace window, old one does not
+    assert t.remove_orphan_files(grace_seconds=3600)["removed_files"] == 0
+    assert os.path.exists(inflight)
+    os.utime(inflight, (1, 1))  # make it ancient
+    assert t.remove_orphan_files(grace_seconds=3600)["removed_files"] == 1
+    assert not os.path.exists(inflight)
+    assert t.read().count() == 8
+
+
+def test_rewrite_small_files_preserves_content(spark, tmpdir_path):
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=2
+    )
+    # fragment the layout: bound rows-per-file so each bucket splits
+    t.max_records_per_file = 10
+    t.overwrite(generate_base_transcripts(spark, n_convs=20, turns_per_conv=4))
+    for epoch in (1, 2, 3):
+        t.merge(
+            spark.createDataFrame(
+                [(f"conv_{epoch:08d}", 0, "user", f"v{epoch}", None)],
+                "conv_id string, turn_idx int, role string, text string, ts timestamp",
+            ),
+            epoch_id=epoch,
+        )
+    t.max_records_per_file = None
+    before = _content_hash(t.read())
+    cur = t.snapshot()
+    frag = {b: len(ps) for b, ps in cur["files"].items()}
+    assert max(frag.values()) >= 2, "fixture should be fragmented"
+    res = t.rewrite_small_files(target_file_bytes=1 << 30, min_files=2)
+    assert res["buckets_compacted"] >= 1
+    assert res["files_after"] < res["files_before"]
+    after_snap = t.snapshot()
+    assert all(len(ps) == 1 for ps in after_snap["files"].values())
+    assert _content_hash(t.read()) == before
+    # exactly-once survives compaction
+    assert t.epoch_committed(2)
+    assert t.merge(
+        spark.createDataFrame(
+            [("conv_00000002", 0, "user", "NOPE", None)],
+            "conv_id string, turn_idx int, role string, text string, ts timestamp",
+        ),
+        epoch_id=2,
+    ).skipped
+    # no-op on an already-compacted table
+    assert t.rewrite_small_files(target_file_bytes=1 << 30)["buckets_compacted"] == 0
+
+
+def test_rebucket_evolution(spark, tmpdir_path):
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=2
+    )
+    t.overwrite(generate_base_transcripts(spark, n_convs=30, turns_per_conv=3))
+    t.merge(
+        spark.createDataFrame(
+            [("conv_00000001", 0, "user", "v1", None)],
+            "conv_id string, turn_idx int, role string, text string, ts timestamp",
+        ),
+        epoch_id=1,
+    )
+    before = _content_hash(t.read())
+    res = t.rebucket(8)
+    assert res["num_buckets"] == 8 and t.num_buckets == 8
+    assert len(t.snapshot()["files"]) > 2  # actually spread wider
+    assert _content_hash(t.read()) == before
+    # merges keep working against the new layout, exactly-once intact
+    assert t.merge(
+        spark.createDataFrame(
+            [("conv_00000001", 0, "user", "NOPE", None)],
+            "conv_id string, turn_idx int, role string, text string, ts timestamp",
+        ),
+        epoch_id=1,
+    ).skipped
+    r2 = t.merge(
+        spark.createDataFrame(
+            [("conv_00000001", 0, "user", "v2", None)],
+            "conv_id string, turn_idx int, role string, text string, ts timestamp",
+        ),
+        epoch_id=2,
+    )
+    assert not r2.skipped
+    assert t.read().where("conv_id='conv_00000001' and turn_idx=0").first().text == "v2"

@@ -78,8 +78,32 @@ def test_streaming_restart_is_noop(spark, tmpdir_path, stream_dir):
     )
     eng = CdcEngine(spark, table, ManifestStore(os.path.join(tmpdir_path, "ck")))
     ckpt = os.path.join(tmpdir_path, "stream_ckpt")
-    StreamingCdcApply(eng, stream_dir, ckpt, max_files_per_trigger=3).run_available()
+    s1 = StreamingCdcApply(eng, stream_dir, ckpt, max_files_per_trigger=3)
+    s1.run_available()
     v1 = table.latest_version()
-    # "restart": new wrapper, same streaming checkpoint → nothing new
-    StreamingCdcApply(eng, stream_dir, ckpt, max_files_per_trigger=3, epoch_base=0).run_available()
+    # "restart": new wrapper, same streaming checkpoint → nothing new.
+    # No explicit epoch_base: the pinned base file must prevent
+    # re-derivation from last_epoch() (which has advanced).
+    s2 = StreamingCdcApply(eng, stream_dir, ckpt, max_files_per_trigger=3)
+    assert s2.epoch_base == s1.epoch_base
+    s2.run_available()
     assert table.latest_version() == v1
+
+
+def test_epoch_base_pinned_not_rederived(spark, tmpdir_path, stream_dir):
+    """Regression: a restarted wrapper must keep the first-start
+    epoch_base even though last_epoch() has grown — otherwise a
+    replayed batch_id maps to a FRESH epoch id and bypasses the
+    epoch-id exactly-once check."""
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=8
+    )
+    store = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    eng = CdcEngine(spark, table, ManifestStore(os.path.join(tmpdir_path, "ck")))
+    ckpt = os.path.join(tmpdir_path, "stream_ckpt")
+    s1 = StreamingCdcApply(eng, stream_dir, ckpt, max_files_per_trigger=2)
+    assert s1.epoch_base == 0
+    s1.run_available()
+    assert (store.last_epoch() or 0) > 0  # streaming advanced the manifests
+    s2 = StreamingCdcApply(eng, stream_dir, ckpt)
+    assert s2.epoch_base == 0  # pinned, NOT last_epoch()
