@@ -463,6 +463,66 @@ def q_flatten_rules(spark, sf_dir):
     return flatten.flatten_with_rules(df)
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """S13: CSV sink — overwrite then APPEND a delta (new part files
+    only), read back with an explicit schema."""
+    from pyspark.sql import types as T
+
+    from etl_warehouse_agnostic_spark import sinks
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    root = tempfile.mkdtemp(prefix="etlwa-csv-")
+    path = os.path.join(root, "events_csv")
+    try:
+        sinks.write_csv(e.where(F.col("event_id") <= 2000), path)
+        sinks.append_csv(e.where((F.col("event_id") > 2000) & (F.col("event_id") <= 3000)), path)
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("user_id", T.LongType()),
+            ]
+        )
+        return sinks.read_csv(spark, path, schema).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_sheet_grid(spark, sf_dir):
+    """S8: sheet-range reader — banner row skipped, header row names
+    the columns, short rows NULL-padded."""
+    from etl_warehouse_agnostic_spark.sources.sheets import grid_to_table
+
+    e = load(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    data = e.select(
+        (F.col("event_id") + 2).alias("row_idx"),
+        F.array(F.col("event_id").cast("string"), F.col("event_type")).alias("cells"),
+    )
+    head = spark.createDataFrame(
+        [(0, ["*** EXPORT 'raw' ***"]), (1, ["event_id", "event_type"])],
+        "row_idx long, cells array<string>",
+    )
+    grid = head.unionByName(data)
+    return grid_to_table(grid, skip_rows=1)
+
+
+def q_valid_filter(spark, sf_dir):
+    """P7: validity split with per-reason accounting (first failed rule
+    wins: required-column nulls, then custom rules in order)."""
+    from etl_warehouse_agnostic_spark.operators.validity import filter_valid
+
+    chg = _changes(spark, sf_dir).withColumn(
+        "text2", F.when(F.col("lsn") % 11 == 0, F.lit(None)).otherwise(F.col("text"))
+    )
+    valid, rejects = filter_valid(
+        chg, required_cols=["text2"], rules={"turn_lt_12": F.col("turn_idx") < 12}
+    )
+    acct = valid.select(F.lit("valid").alias("disposition")).unionByName(
+        rejects.select(F.col("_reject_reason").alias("disposition"))
+    )
+    return acct.groupBy("disposition").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ------------------------------------------------ training-data ops
 
 def q_exact_dedup(spark, sf_dir):
@@ -639,6 +699,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promote_first_element": q_promote_first_element,
     "scalar_battery_2": q_scalar_battery_2,
     "flatten_rules": q_flatten_rules,
+    "csv_roundtrip": q_csv_roundtrip,
+    "sheet_grid": q_sheet_grid,
+    "valid_filter": q_valid_filter,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
@@ -859,6 +922,23 @@ ORACLES: dict[str, str] = {
                o_orderstatus || '|' || o_orderpriority AS tags_names,
                2 AS tags_count
         FROM orders
+    """,
+    "csv_roundtrip": """
+        SELECT event_id, event_type, user_id FROM events WHERE event_id <= 3000
+    """,
+    "sheet_grid": """
+        SELECT CAST(event_id AS VARCHAR) AS event_id, event_type
+        FROM events WHERE event_id < 300
+    """,
+    "valid_filter": f"""
+        WITH en AS (
+          SELECT *, CASE WHEN lsn % 11 = 0 THEN NULL ELSE text END AS text2
+          FROM ({CHG_SQL}))
+        SELECT CASE WHEN text2 IS NULL THEN 'null_text2'
+                    WHEN NOT (turn_idx < 12) THEN 'turn_lt_12'
+                    ELSE 'valid' END AS disposition,
+               count(*) AS n
+        FROM en GROUP BY 1
     """,
     "exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -50,3 +50,55 @@ class ChangeStreamSource:
         return self.frame().where(
             (c > F.lit(lo_exclusive - lookback)) & (c <= F.lit(hi_inclusive))
         )
+
+    def plan_bounded_slices(
+        self,
+        lo_exclusive: int,
+        hi_inclusive: int,
+        max_rows: int = 9500,
+        granules: int = 1024,
+    ) -> list[tuple[int, int]]:
+        """Plan scan windows of ≤ ``max_rows`` rows each (S5).
+
+        The reference hits the same need reactively: offset pagination
+        capped at skip>9500 (or HTTP 400) triggers a '+90 days and reset
+        skip' jump (get_paginated_data_fixed_query_params,
+        extractors/repsly/extractor.py:932-1069). Re-expressed as a
+        deterministic plan: ONE pushed-down aggregation builds a cursor
+        histogram at ``granules`` resolution (≤ ``granules`` rows to the
+        driver), then consecutive granules are greedily packed into
+        windows under the cap. A single granule denser than the cap
+        stands alone (the engine's dedup+merge make oversized windows
+        correct, just bigger) — no retry loop, no dropped rows.
+
+        Returns half-open-by-convention (lo_exclusive, hi_inclusive)
+        pairs whose union is exactly the requested range.
+        """
+        if hi_inclusive <= lo_exclusive:
+            return []
+        span = hi_inclusive - lo_exclusive
+        g = max(1, span // granules)
+        c = F.col(self.lsn_col)
+        hist = (
+            self.frame()
+            .where((c > F.lit(lo_exclusive)) & (c <= F.lit(hi_inclusive)))
+            .groupBy(F.floor((c - lo_exclusive - 1) / g).cast("long").alias("gr"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        counts = {int(r["gr"]): int(r["n"]) for r in hist}
+        n_granules = (span + g - 1) // g
+        slices: list[tuple[int, int]] = []
+        cur_lo = lo_exclusive
+        cur_rows = 0
+        for i in range(n_granules):
+            gn = counts.get(i, 0)
+            g_hi = min(lo_exclusive + (i + 1) * g, hi_inclusive)
+            if cur_rows and cur_rows + gn > max_rows:
+                slices.append((cur_lo, lo_exclusive + i * g))
+                cur_lo = lo_exclusive + i * g
+                cur_rows = 0
+            cur_rows += gn
+            if i == n_granules - 1:
+                slices.append((cur_lo, g_hi))
+        return slices

@@ -1,0 +1,82 @@
+"""S5 bounded-slice planning, S8 grid reader edges, P7 validity split,
+P8 refresh skip."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from etl_warehouse_agnostic_spark.control import should_skip_refresh
+from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
+from etl_warehouse_agnostic_spark.operators.validity import filter_valid
+from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+from etl_warehouse_agnostic_spark.sources.generator import generate_changes
+from etl_warehouse_agnostic_spark.sources.sheets import grid_to_table
+
+
+def test_plan_bounded_slices_covers_range_under_cap(spark):
+    chg = generate_changes(spark, 5000, n_convs=40, turns_per_conv=8, seed=3)
+    src = ChangeStreamSource(spark, df=chg)
+    slices = src.plan_bounded_slices(0, 5000, max_rows=700, granules=256)
+    # exact coverage: contiguous, starts at lo, ends at hi
+    assert slices[0][0] == 0 and slices[-1][1] == 5000
+    for (a, b), (c, _) in zip(slices, slices[1:]):
+        assert b == c and a < b
+    # each slice under the cap (granularity 5000/256≈19 rows, no
+    # single granule can exceed 700)
+    total = 0
+    for lo, hi in slices:
+        n = src.read_slice(lo, hi).count()
+        assert n <= 700
+        total += n
+    assert total == 5000
+    # degenerate range
+    assert src.plan_bounded_slices(10, 10) == []
+
+
+def test_grid_to_table_header_pad_and_dupes(spark):
+    grid = spark.createDataFrame(
+        [
+            (0, ["banner"]),
+            (1, ["id", "name", "name", None]),
+            (2, ["1", "alice", "x", "extra-trimmed? no: col_3 keeps it"]),
+            (3, ["2", "bob"]),  # short row → NULL-padded
+        ],
+        "row_idx long, cells array<string>",
+    )
+    out = grid_to_table(grid, skip_rows=1)
+    assert out.columns == ["id", "name", "name_1", "col_3"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["2"]["name"] == "bob" and rows["2"]["name_1"] is None
+    assert rows["1"]["col_3"] is not None
+    # headerless mode: widest row sets the width
+    out2 = grid_to_table(grid, skip_rows=2, header=False)
+    assert out2.columns == ["col_0", "col_1", "col_2", "col_3"]
+    assert out2.count() == 2
+
+
+def test_filter_valid_first_reason_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, None, 5), (3, None, -1), (4, "d", -1)],
+        "id int, s string, v int",
+    )
+    valid, rejects = filter_valid(df, required_cols=["s"], rules={"v_pos": F.col("v") > 0})
+    assert [r["id"] for r in valid.orderBy("id").collect()] == [1]
+    got = {r["id"]: r["_reject_reason"] for r in rejects.collect()}
+    # null_s fires before v_pos for id=3 (both fail)
+    assert got == {2: "null_s", 3: "null_s", 4: "v_pos"}
+    # no rules → everything valid, empty reject frame with the column
+    v2, r2 = filter_valid(df)
+    assert v2.count() == 4 and r2.count() == 0
+    assert "_reject_reason" in r2.columns
+
+
+def test_should_skip_refresh(tmpdir_path):
+    store = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    assert not should_skip_refresh(store, 24)  # never ran → extract
+    now = time.time()
+    committed = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(now - 3600))
+    store.finalize(1, {"epoch": 1, "committed_at": committed,
+                       "offsets": {}, "lineage": {"lsn_range": [0, 10]}})
+    assert should_skip_refresh(store, 24, now=now)  # 1h old < 24h
+    assert not should_skip_refresh(store, 0.5, now=now)  # 1h old > 30min
