@@ -4,7 +4,9 @@ Thin shim over ``etl_warehouse_agnostic_spark.harness``: one
 (Spark query, DuckDB oracle) pair per implemented operator from
 SURVEY.md §2 plus the training-data ops. ``simhash_pairs`` and
 ``ivf_topk`` intentionally have no oracle (bit-twiddling / approximate
-paths not portably SQL-expressible) → rows-only check.
+paths not portably SQL-expressible) → rows-only check; their QUALITY is
+oracle-gated by ``simhash_recall`` / ``ivf_recall`` instead (measured
+recall vs the exact baseline, hashed against a stated floor).
 """
 
 from __future__ import annotations

@@ -344,3 +344,31 @@ class CdcEngine:
             hi_water = hi
             epoch += 1
         return results
+
+    def run_bounded(
+        self,
+        source: ChangeStreamSource,
+        max_rows_per_epoch: int,
+        lookback: int = 0,
+        granules: int = 1024,
+    ) -> list[EpochResult]:
+        """Tail the change stream in epochs bounded by ROW COUNT rather
+        than LSN span (S5 semantics folded into the engine): one pushed
+        histogram over the backlog plans the epoch boundaries, so a
+        burst of densely-packed LSNs can't blow an epoch past executor
+        memory and a sparse stretch doesn't produce hundreds of
+        near-empty epochs. Same exactly-once path per epoch."""
+        self.recover()
+        results: list[EpochResult] = []
+        hi_water = self.checkpoints.high_water_lsn()
+        source_max = source.max_lsn()
+        if hi_water >= source_max:
+            return results
+        epoch = (self.checkpoints.last_epoch() or 0) + 1
+        for lo, hi in source.plan_bounded_slices(
+            hi_water, source_max, max_rows=max_rows_per_epoch, granules=granules
+        ):
+            slice_df = source.read_slice(lo, hi, lookback=lookback)
+            results.append(self.apply_epoch(slice_df, epoch, lsn_range=(lo, hi)))
+            epoch += 1
+        return results

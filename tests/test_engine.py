@@ -178,3 +178,17 @@ def test_dedup_methods_agree_end_to_end(spark, tmpdir_path, changes_path):
         eng.run(ChangeStreamSource(spark, path=changes_path), epoch_size=1500)
         states.append(table_state(eng.table))
     assert states[0] == states[1]
+
+
+def test_run_bounded_matches_oracle_and_caps_epochs(spark, tmpdir_path, changes_path):
+    """Row-bounded tail loop (S5-in-engine): every epoch reads ≤ the cap
+    and the final state equals the full-replay oracle."""
+    eng = mk_engine(spark, tmpdir_path)
+    src = ChangeStreamSource(spark, path=changes_path)
+    results = eng.run_bounded(src, max_rows_per_epoch=900, granules=256)
+    assert len(results) >= 4
+    assert all(r.rows_read <= 900 for r in results)
+    assert sum(r.rows_read for r in results) == N_EVENTS
+    assert table_state(eng.table) == [tuple(r) for r in oracle_final_state(changes_path)]
+    # resume is a no-op once drained
+    assert eng.run_bounded(src, max_rows_per_epoch=900) == []
