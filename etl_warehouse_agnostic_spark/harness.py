@@ -559,6 +559,32 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, num_centroids=8, nprobe=2, k=3)
 
 
+def q_cosine_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — exact baseline (O(n²) verify
+    path; blocked_near_pairs is the scale path, gated below)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_pairs(emb, threshold=0.8)
+
+
+def q_blocked_near_pairs_recall(spark, sf_dir):
+    """Scale-path quality gate: IVF-cell-blocked near-dup pairs must
+    recover ≥ 0.8 of the exact cosine ≥ 0.8 pairs."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_near_pairs(emb, threshold=0.8).select("a", "b")
+    found = (
+        similarity.blocked_near_pairs(emb, threshold=0.8, num_centroids=8, nprobe=2)
+        .select("a", "b")
+        .withColumn("_hit", F.lit(1))
+    )
+    marked = exact.join(found, ["a", "b"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        (
+            F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)) >= F.lit(0.8)
+        ).alias("recall_ge_080"),
+    )
+
+
 def q_ivf_recall(spark, sf_dir):
     """IVF quality gate: measured recall@3 of the k-means IVF index vs
     the exact brute-force baseline, hashed against a stated floor. The
@@ -710,6 +736,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "ivf_recall": q_ivf_recall,
     "simhash_recall": q_simhash_recall,
+    "cosine_near_pairs": q_cosine_near_pairs,
+    "blocked_near_pairs_recall": q_blocked_near_pairs_recall,
     "text_quality": q_text_quality,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
@@ -1041,6 +1069,20 @@ ORACLES: dict[str, str] = {
     # exact SQL and asserts the measured recall floor as a literal, so
     # the driver hash fails iff the approximate index loses recall.
 }
+
+_COSINE_PAIRS_SQL = """
+    SELECT a, b, sim FROM (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                          CAST(y.embedding AS DOUBLE[])), 6) AS sim
+      FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+    WHERE sim >= 0.8
+"""
+ORACLES["cosine_near_pairs"] = _COSINE_PAIRS_SQL
+ORACLES["blocked_near_pairs_recall"] = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_080 "
+    f"FROM ({_COSINE_PAIRS_SQL})"
+)
 
 ORACLES["ivf_recall"] = (
     "SELECT CAST(count(*) AS BIGINT) AS n_pairs, TRUE AS recall_ge_080 "

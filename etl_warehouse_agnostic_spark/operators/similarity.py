@@ -66,6 +66,72 @@ def cosine_topk(
     )
 
 
+def cosine_near_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact: all (a < b) with
+    ``cosine ≥ threshold``. O(n²) self-join — the correctness baseline
+    only; :func:`blocked_near_pairs` is the scale path (same contract,
+    sub-quadratic)."""
+    a = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("_va"))
+    b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("_vb"))
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def blocked_near_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, sub-quadratic: each vector is
+    multi-assigned to its ``nprobe`` nearest k-means cells; candidate
+    pairs are generated ONLY within a cell (equi-join on centroid_id),
+    then verified exactly. With balanced cells the join cost drops from
+    n² to ~nprobe²·n²/k — the IVF analog of MinHash banding, and the
+    same recall/probe tradeoff (near-dup pairs are cosine-close, so
+    they land in a common probed cell with high probability).
+    Output (a, b, sim) with a < b, deduplicated across cells."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, k=num_centroids, sample_size=sample_size)
+    c = cents.select("centroid_id", F.col(vec_col).alias("_cent"))
+    csim = F.round(cosine(F.col(vec_col), F.col("_cent")), 6)
+    scored = corpus.join(F.broadcast(c)).select(id_col, vec_col, "centroid_id", csim.alias("_cs"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe)
+        .select(id_col, vec_col, "centroid_id")
+    )
+    left = assigned.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("_va"), "centroid_id"
+    )
+    right = assigned.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("_vb"), "centroid_id"
+    )
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (
+        left.join(right, "centroid_id")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -113,3 +113,34 @@ def test_word_shingles(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     out = {r.shingle for r in text.word_shingles(df, "doc_id", "text", n=3).collect()}
     assert out == {"a b c", "b c d"}
+
+
+def test_cosine_near_pairs_blocked_matches_exact_on_planted_dups(spark):
+    """Planted near-identical vectors must be found by both the exact
+    and the cell-blocked pair finders; blocked ⊆ exact always."""
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(16)]))
+    # plant 5 near-dup pairs: id 100+i is id i plus tiny noise
+    for i in range(5):
+        base = rows[i][1]
+        rows.append((100 + i, [x + rnd.uniform(-0.01, 0.01) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from etl_warehouse_agnostic_spark.operators.similarity import (
+        blocked_near_pairs,
+        cosine_near_pairs,
+    )
+
+    exact = {(r["a"], r["b"]) for r in cosine_near_pairs(emb, threshold=0.95).collect()}
+    assert {(i, 100 + i) for i in range(5)} <= exact
+    blocked = {
+        (r["a"], r["b"])
+        for r in blocked_near_pairs(emb, threshold=0.95, num_centroids=4, nprobe=2).collect()
+    }
+    assert blocked <= exact  # blocking only prunes, never invents
+    planted_found = len({(i, 100 + i) for i in range(5)} & blocked)
+    assert planted_found >= 4  # near-identical vectors share their cell
