@@ -559,28 +559,48 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, num_centroids=8, nprobe=2, k=3)
 
 
+def _planted_embeddings(spark, sf_dir):
+    """Corpus + deterministic planted near-dups: ids < 50 are copied to
+    id+100000 with a tiny affine perturbation (x·1.0001 + 0.001). The
+    driver's synthetic embeddings contain NO natural near-dup pairs
+    (max pairwise cosine ≈ 0.51 at sf0.01), so the near-dup operators
+    are exercised on planted truth that both engines can re-derive
+    exactly (planted sim ≈ 0.9999 ≫ 0.95 threshold ≫ 0.51 natural max —
+    no boundary-rounding risk)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001 + 0.001).alias("embedding"),
+    )
+    return emb.unionByName(dup)
+
+
 def q_cosine_near_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs — exact baseline (O(n²) verify
     path; blocked_near_pairs is the scale path, gated below)."""
-    emb = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_near_pairs(emb, threshold=0.8)
+    emb = _planted_embeddings(spark, sf_dir)
+    return similarity.cosine_near_pairs(emb, threshold=0.95)
 
 
 def q_blocked_near_pairs_recall(spark, sf_dir):
     """Scale-path quality gate: IVF-cell-blocked near-dup pairs must
-    recover ≥ 0.8 of the exact cosine ≥ 0.8 pairs."""
-    emb = load(spark, sf_dir, "embeddings")
-    exact = similarity.cosine_near_pairs(emb, threshold=0.8).select("a", "b")
+    recover ≥ 0.8 of the exact cosine ≥ 0.95 pairs (near-identical
+    vectors share their top cell, so cell blocking keeps them)."""
+    emb = _planted_embeddings(spark, sf_dir)
+    exact = similarity.cosine_near_pairs(emb, threshold=0.95).select("a", "b")
     found = (
-        similarity.blocked_near_pairs(emb, threshold=0.8, num_centroids=8, nprobe=2)
+        similarity.blocked_near_pairs(emb, threshold=0.95, num_centroids=8, nprobe=2)
         .select("a", "b")
         .withColumn("_hit", F.lit(1))
     )
     marked = exact.join(found, ["a", "b"], "left")
     return marked.agg(
         F.count(F.lit(1)).alias("n_true"),
-        (
-            F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)) >= F.lit(0.8)
+        F.coalesce(  # vacuously true on an empty truth set
+            F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)) >= F.lit(0.8),
+            F.lit(True),
         ).alias("recall_ge_080"),
     )
 
@@ -1071,12 +1091,18 @@ ORACLES: dict[str, str] = {
 }
 
 _COSINE_PAIRS_SQL = """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+    planted AS (
+      SELECT vec_id, embedding FROM base
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(embedding, x -> x * 1.0001 + 0.001) AS embedding
+      FROM base WHERE vec_id < 50)
     SELECT a, b, sim FROM (
       SELECT x.vec_id AS a, y.vec_id AS b,
-             round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-                                          CAST(y.embedding AS DOUBLE[])), 6) AS sim
-      FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
-    WHERE sim >= 0.8
+             round(list_cosine_similarity(x.embedding, y.embedding), 6) AS sim
+      FROM planted x JOIN planted y ON x.vec_id < y.vec_id)
+    WHERE sim >= 0.95
 """
 ORACLES["cosine_near_pairs"] = _COSINE_PAIRS_SQL
 ORACLES["blocked_near_pairs_recall"] = (
