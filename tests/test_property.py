@@ -66,3 +66,48 @@ def test_random_interleavings_converge(spark, tmp_path_factory, events, boundari
     got = spark_apply(spark, root, events, boundaries)
     want = python_oracle(events)
     assert dict(sorted(got.items())) == want
+
+
+# ---- W2: composite-key + NULLS LAST dedup vs a pure-Python model ----
+
+w2_event = st.tuples(
+    st.integers(0, 3),              # conv (→ composite business key)
+    st.booleans(),                  # guid present?
+    st.sampled_from([None, 1, 2, 3]),  # version ts bucket (None = null)
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(st.lists(w2_event, min_size=1, max_size=40))
+def test_lww_dedup_keyed_nulls_last_matches_python_model(spark, events):
+    """lww_dedup_keyed(coalesce key, DESC NULLS LAST) == reference model:
+    max by (ts is not null, ts, lsn) per coalesce(guid, number) key."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_warehouse_agnostic_spark.operators.dedup import lww_dedup_keyed
+
+    rows = []
+    model_best = {}
+    for lsn, (conv, has_guid, ver) in enumerate(events, start=1):
+        guid = f"g{conv}" if has_guid else ""
+        number = f"n{conv}"
+        ts = None if ver is None else datetime.datetime(2024, 1, ver)
+        rows.append((lsn, guid, number, ts))
+        key = guid or number
+        rank = (ts is not None, ts or datetime.datetime.min, lsn)
+        if key not in model_best or rank > model_best[key][0]:
+            model_best[key] = (rank, lsn)
+    want = {k: v[1] for k, v in sorted(model_best.items())}
+
+    df = spark.createDataFrame(rows, "lsn long, guid string, number string, ver_ts timestamp")
+    key = F.coalesce(F.nullif("guid", F.lit("")), F.nullif("number", F.lit("")))
+    for method in ("window", "salted"):
+        out = lww_dedup_keyed(
+            df, {"biz_key": key}, ["ver_ts", "lsn"],
+            method=method, nulls_last=True, num_salts=4,
+        )
+        got = {r["biz_key"]: r["lsn"] for r in out.select("biz_key", "lsn").collect()}
+        assert got == want, method
