@@ -463,6 +463,15 @@ def q_flatten_rules(spark, sf_dir):
     return flatten.flatten_with_rules(df)
 
 
+def q_windowed_op_counts(spark, sf_dir):
+    """Event-time tumbling-window op census — the same Column
+    expressions the streaming path runs (withWatermark is inert on a
+    batch frame), oracle-checked against DuckDB time_bucket."""
+    from etl_warehouse_agnostic_spark.streaming.windows import windowed_op_counts
+
+    return windowed_op_counts(_changes(spark, sf_dir), window_duration="1 hour")
+
+
 def q_csv_roundtrip(spark, sf_dir):
     """S13: CSV sink — overwrite then APPEND a delta (new part files
     only), read back with an explicit schema."""
@@ -715,6 +724,37 @@ def q_cdc_engine_e2e(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_engine_bounded_e2e(spark, sf_dir):
+    """run_bounded end-to-end: histogram-planned row-capped epochs must
+    replay to the identical final state as plain SQL LWW."""
+    from pyspark.sql import types as T
+
+    from etl_warehouse_agnostic_spark.engine import CdcEngine
+    from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
+    from etl_warehouse_agnostic_spark.lake.table import LakeTable
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+
+    chg = _changes(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etlwa-bnd-")
+    try:
+        table = LakeTable.create(spark, os.path.join(root, "t"), schema, KEYS, num_buckets=8)
+        eng = CdcEngine(spark, table, ManifestStore(os.path.join(root, "ck")))
+        src = ChangeStreamSource(spark, df=chg)
+        eng.run_bounded(src, max_rows_per_epoch=max(1000, chg.count() // 3), granules=256)
+        return table.read().select("conv_id", "turn_idx", "role", "text").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------- registries
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -745,6 +785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promote_first_element": q_promote_first_element,
     "scalar_battery_2": q_scalar_battery_2,
     "flatten_rules": q_flatten_rules,
+    "windowed_op_counts": q_windowed_op_counts,
     "csv_roundtrip": q_csv_roundtrip,
     "sheet_grid": q_sheet_grid,
     "valid_filter": q_valid_filter,
@@ -764,6 +805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
     "cdc_engine_e2e": q_cdc_engine_e2e,
+    "cdc_engine_bounded_e2e": q_cdc_engine_bounded_e2e,
 }
 
 
@@ -971,6 +1013,12 @@ ORACLES: dict[str, str] = {
                2 AS tags_count
         FROM orders
     """,
+    "windowed_op_counts": f"""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+               op, count(*) AS n, max(lsn) AS max_lsn
+        FROM ({CHG_SQL}) GROUP BY 1, 2, 3
+    """,
     "csv_roundtrip": """
         SELECT event_id, event_type, user_id FROM events WHERE event_id <= 3000
     """,
@@ -1082,6 +1130,7 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "cdc_engine_e2e": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
+    "cdc_engine_bounded_e2e": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
     # simhash_pairs / ivf_topk: intentionally no oracle (bit-twiddling /
     # approximate path not portably expressible) → rows-only check.
     # Their QUALITY is oracle-gated instead via ivf_recall /

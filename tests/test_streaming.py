@@ -5,6 +5,7 @@ import os
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from etl_warehouse_agnostic_spark.engine import CdcEngine
 from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
@@ -107,3 +108,103 @@ def test_epoch_base_pinned_not_rederived(spark, tmpdir_path, stream_dir):
     assert (store.last_epoch() or 0) > 0  # streaming advanced the manifests
     s2 = StreamingCdcApply(eng, stream_dir, ckpt)
     assert s2.epoch_base == 0  # pinned, NOT last_epoch()
+
+
+def test_windowed_op_counts_stream_equals_batch(spark, tmpdir_path, stream_dir):
+    """Event-time windowed agg: streaming (watermarked, availableNow)
+    must produce exactly the batch groupBy result."""
+    from etl_warehouse_agnostic_spark.streaming.windows import windowed_op_counts
+
+    batch_df = spark.read.parquet(stream_dir)
+    want = sorted(
+        tuple(r) for r in windowed_op_counts(batch_df, window_duration="30 minutes").collect()
+    )
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stream_dir)
+    )
+    out_dir = os.path.join(tmpdir_path, "win_out")
+    q = (
+        windowed_op_counts(stream, window_duration="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmpdir_path, "win_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits a window only once its watermark passes; run a
+    # final empty trigger to flush, then one more batch read.
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    # Watermark semantics: windows still open at end-of-stream are not
+    # emitted in append mode. Every emitted row must match the batch
+    # truth, and the emitted set must cover all CLOSED windows.
+    want_by_key = {(r[0], r[1], r[2]): r for r in want}
+    assert got, "stream should emit at least the closed windows"
+    for r in got:
+        assert want_by_key[(r[0], r[1], r[2])] == r
+    max_ts = batch_df.agg(F.max("ts")).first()[0]
+    for r in want:
+        window_end = r[1]
+        # closed = end + delay (10 min default) <= max event time seen
+        import datetime
+        if window_end + datetime.timedelta(minutes=10) <= max_ts:
+            assert (r[0], r[1], r[2]) in {(g[0], g[1], g[2]) for g in got}, r
+
+
+def test_conversation_ledger_matches_batch_lww(spark, tmpdir_path, stream_dir):
+    """applyInPandasWithState ledger: after draining the backlog, the
+    latest row per conversation equals the batch LWW truth (live turn
+    count, events seen, high-water lsn)."""
+    from etl_warehouse_agnostic_spark.streaming.stateful import conversation_ledger
+
+    batch_df = spark.read.parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 2)  # several micro-batches → state crosses batches
+        .parquet(stream_dir)
+    )
+    out_dir = os.path.join(tmpdir_path, "ledger_out")
+
+    def sink(batch_df, _bid):  # file sinks are append-only; route update-mode
+        batch_df.write.mode("append").parquet(out_dir)  # emissions via foreachBatch
+
+    q = (
+        conversation_ledger(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmpdir_path, "ledger_ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out_dir)
+    # latest emission per conversation = the one with max events_seen
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id").orderBy(F.desc("events_seen"), F.desc("max_lsn"))
+    final = (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .select("conv_id", "events_seen", "live_turns", "max_lsn")
+    )
+    got = {r["conv_id"]: (r["events_seen"], r["live_turns"], r["max_lsn"]) for r in final.collect()}
+    want = {}
+    for r in duckdb.sql(
+        f"""
+        WITH lww AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                     ORDER BY lsn DESC) rn
+            FROM read_parquet('{stream_dir}/*.parquet')) WHERE rn = 1)
+        SELECT s.conv_id, s.n_events, coalesce(l.n_live, 0), s.hi
+        FROM (SELECT conv_id, count(*) n_events, max(lsn) hi
+              FROM read_parquet('{stream_dir}/*.parquet') GROUP BY conv_id) s
+        LEFT JOIN (SELECT conv_id, count(*) n_live FROM lww
+                   WHERE op <> 'D' GROUP BY conv_id) l USING (conv_id)
+        """
+    ).fetchall():
+        want[r[0]] = (r[1], r[2], r[3])
+    assert got == want
