@@ -66,20 +66,39 @@ def ngram_jaccard_pairs(
     return _pair_jaccard(sh, id_col).where(F.col("jaccard") >= threshold)
 
 
+def minhash_signatures_wide(
+    shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """(id, m0..m{k-1}) — all k minhashes as aggregate columns of ONE
+    groupBy over (id, shingle). The naive formulation explodes every
+    shingle k times and shuffles (id, seed)-keyed rows; this computes
+    k ``min`` aggregates in a single pass, so the shuffle carries k×
+    fewer rows and the map-side partial combine collapses each
+    partition to one row per id before the exchange — the difference
+    between O(k·shingles) and O(shingles) shuffle bytes at 10^9 docs.
+
+    minhash_s = min(md5("s:" || shingle)) — md5-hex-string min is
+    engine-portable, deterministic, uniform enough for LSH banding.
+    """
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))
+        ).alias(f"m{s}")
+        for s in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """(id, seed, minhash) — minhash per seed is min(md5(seed:shingle)).
-
-    md5-hex-string min is engine-portable (same result in any SQL
-    engine), deterministic, and uniform enough for LSH banding.
-    """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    h = F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
-    return (
-        shingles.select(F.col(id_col), seeds, F.col("shingle"))
-        .groupBy(id_col, "seed")
-        .agg(F.min(h).alias("minhash"))
+    """(id, seed, minhash) — tall view of
+    :func:`minhash_signatures_wide` (stack, narrow op, no extra
+    shuffle). Kept for API compatibility and per-seed inspection."""
+    wide = minhash_signatures_wide(shingles, id_col, num_hashes)
+    pairs = ", ".join(f"{s}, m{s}" for s in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {pairs}) as (seed, minhash)"
     )
 
 
@@ -100,12 +119,30 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sh = word_shingles(df, id_col, text_col, n)
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    banded = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list("minhash")))).alias("bucket"))
-    )
+    wide = minhash_signatures_wide(sh, id_col, num_hashes)
+    # Band buckets straight from the wide signature — a narrow
+    # explode of `bands` structs per doc; no (id, seed) or (id, band)
+    # shuffle at all (the old tall formulation needed both).
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.array(*[
+                            F.col(f"m{s}")
+                            for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ])
+                    ),
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = wide.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_bb")
+    ).select(id_col, "_bb.band", "_bb.bucket")
     left = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("b"), "band", "bucket")
     cand = (
