@@ -689,6 +689,32 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media)
 
 
+def q_media_resize_plan(spark, sf_dir):
+    """Resize planning over the fake media table (width = text length,
+    height = 1), longer side bounded to 100."""
+    d = load(spark, sf_dir, "documents")
+    media = multimodal.to_media_table(d, "doc_id", "text")
+    return multimodal.plan_resize(media, max_dim=100)
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Frame-sampling fan-out: one row per 7 ms stride over synthetic
+    clip durations derived from events.value."""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") <= 3000)
+    media = e.select(
+        F.col("event_id").alias("media_id"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit("video").alias("media_type"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.floor(F.col("value") * 100).cast("int").alias("duration_ms"),
+            F.lit("raw").alias("codec"),
+        ).alias("meta"),
+    )
+    return multimodal.sample_frame_offsets(media, every_ms=7)
+
+
 # ------------------------------------------------ the flagship: engine
 
 def q_cdc_engine_e2e(spark, sf_dir):
@@ -804,6 +830,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
+    "media_resize_plan": q_media_resize_plan,
+    "media_frame_sample": q_media_frame_sample,
     "cdc_engine_e2e": q_cdc_engine_e2e,
     "cdc_engine_bounded_e2e": q_cdc_engine_bounded_e2e,
 }
@@ -1131,6 +1159,27 @@ ORACLES: dict[str, str] = {
     """,
     "cdc_engine_e2e": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
     "cdc_engine_bounded_e2e": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
+    # mirror plan_resize's double arithmetic EXACTLY (least/greatest +
+    # floor of the scaled product) — simplifying to min(w, 100) risks a
+    # one-off at floor(w * (100.0/w)) boundaries.
+    "media_resize_plan": """
+        SELECT doc_id AS media_id,
+               CAST(length(text) AS INT) AS width,
+               1 AS height,
+               greatest(1, CAST(floor(CAST(length(text) AS DOUBLE)
+                 * least(1.0, 100.0 / greatest(CAST(length(text) AS DOUBLE), 1.0))) AS INT)) AS target_width,
+               greatest(1, CAST(floor(1.0
+                 * least(1.0, 100.0 / greatest(CAST(length(text) AS DOUBLE), 1.0))) AS INT)) AS target_height,
+               greatest(CAST(length(text) AS DOUBLE), 1.0) > 100 AS needs_resize
+        FROM documents
+    """,
+    "media_frame_sample": """
+        SELECT media_id, duration_ms, CAST(unnest(generate_series(0, greatest(duration_ms - 1, 0), 7)) AS INT) AS frame_offset_ms
+        FROM (
+          SELECT event_id AS media_id, CAST(floor(value * 100) AS INT) AS duration_ms
+          FROM events WHERE event_id <= 3000)
+        WHERE duration_ms IS NOT NULL AND duration_ms > 0
+    """,
     # simhash_pairs / ivf_topk: intentionally no oracle (bit-twiddling /
     # approximate path not portably expressible) → rows-only check.
     # Their QUALITY is oracle-gated instead via ivf_recall /

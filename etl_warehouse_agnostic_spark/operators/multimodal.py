@@ -73,6 +73,46 @@ def decode_image_stub(payload: bytes) -> "object":
     raise NotImplementedError("image decode requires PIL/libvips — not in this container")
 
 
+def plan_resize(media: DataFrame, max_dim: int) -> DataFrame:
+    """Resize planning — the aspect-ratio math, JVM-side.
+
+    Emits per-media target dimensions bounding the longer side to
+    ``max_dim`` (no upscaling). The pixel kernel itself would run in
+    the same ``mapInPandas`` pattern as :func:`extract_features` with
+    ``PIL.Image.resize`` inside (stubbed here — no imaging libs in this
+    container); the PLAN is what the engine owns: pure Column math, so
+    Catalyst can partition-prune and the Python boundary only ever sees
+    rows that actually need work (``needs_resize``).
+    """
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    longer = F.greatest(w, h)
+    scale = F.least(F.lit(1.0), F.lit(float(max_dim)) / longer)
+    return media.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.greatest(F.lit(1), F.floor(w * scale).cast("int")).alias("target_width"),
+        F.greatest(F.lit(1), F.floor(h * scale).cast("int")).alias("target_height"),
+        (longer > max_dim).alias("needs_resize"),
+    )
+
+
+def sample_frame_offsets(media: DataFrame, every_ms: int) -> DataFrame:
+    """Frame-sampling plan: one row per (media_id, frame_offset_ms) at
+    a fixed stride over the clip duration — ``sequence`` + ``explode``,
+    fully JVM-side. The frame-grab kernel (ffmpeg/PyAV seek+decode) is
+    the stubbed deployment point, same contract as
+    :func:`decode_image_stub`; the fan-out, ordering, and offset math
+    the engine owns are real and oracle-checked."""
+    dur = F.col("meta.duration_ms")
+    offsets = F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(every_ms))
+    return (
+        media.where(dur.isNotNull() & (dur > 0))
+        .select("media_id", dur.alias("duration_ms"), F.explode(offsets).alias("frame_offset_ms"))
+    )
+
+
 def extract_features(media: DataFrame, try_decode: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
