@@ -53,7 +53,14 @@ _PB = "_pb"  # throwaway copy used only for partitionBy at write time
 
 
 class CommitConflict(RuntimeError):
-    """Another writer committed this version first (optimistic lock)."""
+    """Another writer committed this version first (optimistic lock).
+
+    ``written_dir`` carries the losing attempt's data directory so the
+    retry loop can reclaim it before re-trying."""
+
+    def __init__(self, path: str, written_dir: str | None = None):
+        super().__init__(path)
+        self.written_dir = written_dir
 
 
 @dataclass
@@ -523,6 +530,7 @@ class LakeTable:
         epoch_id: int | None = None,
         extra_summary: dict | None = None,
         affected_buckets: list[int] | None = None,
+        max_retries: int = 3,
     ) -> MergeResult:
         """Copy-on-write MERGE: last-writer-wins upsert + tombstone
         delete keyed on ``key_cols``.
@@ -540,7 +548,38 @@ class LakeTable:
         LWW dedup guarantees this). Only buckets containing changed keys
         are read and rewritten; unaffected buckets' files carry over
         into the new snapshot untouched.
+
+        Concurrency: optimistic. An attempt reads the current snapshot,
+        writes its rewritten buckets, and publishes the next version via
+        hard link; if ANOTHER writer won that version (CommitConflict),
+        the loser deletes its attempt's files and retries against the
+        fresh snapshot — Iceberg's commit-retry semantics. Retries
+        re-derive survivors from the new snapshot, so two writers
+        touching different keys both land.
         """
+        import shutil as _shutil
+
+        last_exc: Exception | None = None
+        for _attempt in range(max_retries + 1):
+            try:
+                return self._merge_attempt(
+                    upserts, delete_keys, epoch_id, extra_summary, affected_buckets
+                )
+            except CommitConflict as e:
+                last_exc = e
+                if e.written_dir:
+                    _shutil.rmtree(e.written_dir, ignore_errors=True)
+                continue
+        raise last_exc  # type: ignore[misc]
+
+    def _merge_attempt(
+        self,
+        upserts: DataFrame,
+        delete_keys: DataFrame | None,
+        epoch_id: int | None,
+        extra_summary: dict | None,
+        affected_buckets: list[int] | None,
+    ) -> MergeResult:
         cur = self.snapshot()
         if epoch_id is not None and epoch_id in cur.get("committed_epochs", []):
             return MergeResult(cur["version"], epoch_id, 0, 0, 0, skipped=True)
@@ -593,5 +632,9 @@ class LakeTable:
             snap["summary"].update(extra_summary)
         if epoch_id is not None:
             snap["committed_epochs"].append(epoch_id)
-        v = self._commit(snap)
+        try:
+            v = self._commit(snap)
+        except CommitConflict as e:
+            e.written_dir = os.path.join(self.data_dir, tag)  # loser cleans up
+            raise
         return MergeResult(v, epoch_id, rows, nbytes, len(affected))

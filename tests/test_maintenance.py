@@ -162,3 +162,45 @@ def test_rebucket_evolution(spark, tmpdir_path):
     )
     assert not r2.skipped
     assert t.read().where("conv_id='conv_00000001' and turn_idx=0").first().text == "v2"
+
+
+def test_concurrent_merges_retry_and_both_land(spark, tmpdir_path):
+    """Optimistic commit-retry: two writers racing for the same version
+    on DIFFERENT keys must both land (the loser retries against the
+    winner's snapshot, Iceberg-style); no files leak from lost attempts."""
+    import threading
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=4
+    )
+    t.overwrite(generate_base_transcripts(spark, n_convs=8, turns_per_conv=2))
+    v0 = t.latest_version()
+
+    def writer(tag, epoch):
+        ups = spark.createDataFrame(
+            [(f"conv_0000000{tag}", 0, "user", f"from-writer-{tag}", None)],
+            "conv_id string, turn_idx int, role string, text string, ts timestamp",
+        )
+        # separate handle per thread (same table path) like two processes
+        h = LakeTable.load(spark, t.path)
+        h.merge(ups, epoch_id=epoch)
+
+    threads = [
+        threading.Thread(target=writer, args=(1, 101)),
+        threading.Thread(target=writer, args=(2, 102)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert t.latest_version() == v0 + 2  # both committed, serialized
+    rows = {r.conv_id: r.text for r in t.read().where("turn_idx = 0").collect()}
+    assert rows["conv_00000001"] == "from-writer-1"
+    assert rows["conv_00000002"] == "from-writer-2"
+    assert sorted(set(t.committed_epochs()) & {101, 102}) == [101, 102]
+    # every referenced file exists; no orphans young enough to matter
+    snap = t.snapshot()
+    for paths in snap["files"].values():
+        for p in paths:
+            assert os.path.exists(os.path.join(t.path, p))
