@@ -179,6 +179,22 @@ def q_dq_checks(spark, sf_dir):
     )
 
 
+def q_expectations(spark, sf_dir):
+    """§2.11 as one operator: the whole DQ battery in a single agg pass
+    (unique keys, null ratio, accepted values, row floor, freshness)."""
+    from etl_warehouse_agnostic_spark.operators import expectations as X
+
+    e = load(spark, sf_dir, "events")
+    checks = [
+        X.unique(["event_id"]),
+        X.not_null_ratio("value", 0.10),
+        X.accepted_values("event_type", ["view", "click", "purchase", "signup"]),
+        X.min_rows(1000),
+        X.freshness("ts", "2020-01-01 00:00:00"),
+    ]
+    return X.run_expectations(e, checks)
+
+
 def q_incremental_slice(spark, sf_dir):
     """S1/P6/S14: bounded cursor scan `WHERE lsn in (cursor, hi]` with
     per-op counts — one epoch's read."""
@@ -792,6 +808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_batch_anti_join": q_dup_batch_anti_join,
     "watermark_offsets": q_watermark_offsets,
     "dq_checks": q_dq_checks,
+    "expectations": q_expectations,
     "incremental_slice": q_incremental_slice,
     "ordinal_numbering": q_ordinal_numbering,
     "scalar_battery": q_scalar_battery,
@@ -898,6 +915,22 @@ ORACLES: dict[str, str] = {
                max(ts) AS freshest,
                count(DISTINCT user_id) AS distinct_users
         FROM events GROUP BY event_type
+    """,
+    "expectations": """
+        WITH m AS (
+          SELECT CAST(count(*) - count(DISTINCT coalesce(CAST(event_id AS VARCHAR), '∅')) AS DOUBLE) AS m0,
+                 CAST(round(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                      / greatest(count(*), 1), 6) AS DOUBLE) AS m1,
+                 CAST(sum(CASE WHEN event_type IN ('view','click','purchase','signup')
+                               OR event_type IS NULL THEN 0 ELSE 1 END) AS DOUBLE) AS m2,
+                 CAST(count(*) AS DOUBLE) AS m3,
+                 CAST(epoch_us(max(ts)) AS DOUBLE) AS m4
+          FROM events)
+        SELECT 'unique:event_id' AS check, m0 AS observed, m0 = 0 AS passed FROM m
+        UNION ALL SELECT 'not_null:value', m1, m1 <= 0.10 FROM m
+        UNION ALL SELECT 'accepted_values:event_type', m2, m2 = 0 FROM m
+        UNION ALL SELECT 'min_rows', m3, m3 >= 1000 FROM m
+        UNION ALL SELECT 'freshness:ts', m4, m4 >= CAST(epoch_us(TIMESTAMP '2020-01-01 00:00:00') AS DOUBLE) FROM m
     """,
     "incremental_slice": f"""
         SELECT op, count(*) AS rows, min(lsn) AS lo, max(lsn) AS hi
