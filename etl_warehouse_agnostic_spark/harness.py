@@ -699,6 +699,24 @@ def q_fingerprint(spark, sf_dir):
     return text.fingerprint(d, "doc_id", "text").select("doc_id", "fp_md5")
 
 
+def q_training_pipeline(spark, sf_dir):
+    """Composed training-data pipeline: quality filter → language
+    gate → exact dedup → survivor count per language. The shape of a
+    real pretraining data-prep job, end-to-end in one plan."""
+    d = load(spark, sf_dir, "documents")
+    q = text.quality_score(d, "doc_id", "text").where(F.col("keep"))
+    lang = text.language_id(d, "doc_id", "text").select("doc_id", "lang_pred")
+    kept = d.join(q.select("doc_id"), "doc_id").join(lang, "doc_id")
+    deduped = (
+        kept.groupBy(F.col("lang_pred"), text.normalize_text("text").alias("_norm"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return deduped.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     media = multimodal.to_media_table(d, "doc_id", "text")
@@ -846,6 +864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "training_pipeline": q_training_pipeline,
     "multimodal_features": q_multimodal_features,
     "media_resize_plan": q_media_resize_plan,
     "media_frame_sample": q_media_frame_sample,
@@ -1183,6 +1202,25 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp_md5 FROM documents",
+    "training_pipeline": f"""
+        WITH scored AS (
+          SELECT doc_id, text,
+                 len({_WORDS}) AS n_words,
+                 round(length(replace({_NORM}, ' ', '')) / greatest(len({_WORDS}), 1), 6) AS awl,
+                 round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / greatest(length(text), 1), 6) AS pr,
+                 round(len(list_filter({_WORDS}, x -> list_contains({_STOP}, x))) / greatest(len({_WORDS}), 1), 6) AS sr
+          FROM documents),
+        kept AS (
+          SELECT doc_id, text,
+                 CASE WHEN sr >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred
+          FROM scored
+          WHERE n_words >= 5 AND awl BETWEEN 2 AND 12 AND pr <= 0.2),
+        dedup AS (
+          SELECT lang_pred, {_NORM} AS _norm, min(doc_id) AS doc_id
+          FROM kept GROUP BY 1, 2)
+        SELECT lang_pred, count(*) AS n_docs, min(doc_id) AS first_doc
+        FROM dedup GROUP BY lang_pred
+    """,
     "multimodal_features": """
         SELECT doc_id AS media_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
