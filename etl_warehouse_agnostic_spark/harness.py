@@ -179,6 +179,22 @@ def q_dq_checks(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Temporal as-of join: each event enriched with the user's status
+    version current AT the event's timestamp (<= semantics, matching
+    DuckDB ASOF JOIN)."""
+    from etl_warehouse_agnostic_spark.operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events")
+    r = (
+        e.where(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.concat(F.lit("s"), F.max("event_id").cast("string")).alias("status"))
+    )
+    out = asof_join(e.select("event_id", "user_id", "ts"), r, on=["user_id"])
+    return out.select("event_id", "user_id", "r_status")
+
+
 def q_expectations(spark, sf_dir):
     """§2.11 as one operator: the whole DQ battery in a single agg pass
     (unique keys, null ratio, accepted values, row floor, freshness)."""
@@ -826,6 +842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_batch_anti_join": q_dup_batch_anti_join,
     "watermark_offsets": q_watermark_offsets,
     "dq_checks": q_dq_checks,
+    "asof_join": q_asof_join,
     "expectations": q_expectations,
     "incremental_slice": q_incremental_slice,
     "ordinal_numbering": q_ordinal_numbering,
@@ -934,6 +951,14 @@ ORACLES: dict[str, str] = {
                max(ts) AS freshest,
                count(DISTINCT user_id) AS distinct_users
         FROM events GROUP BY event_type
+    """,
+    "asof_join": """
+        WITH r AS (
+          SELECT user_id, ts, 's' || CAST(max(event_id) AS VARCHAR) AS status
+          FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id, r.status AS r_status
+        FROM events l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     "expectations": """
         WITH m AS (

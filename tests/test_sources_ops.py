@@ -80,3 +80,31 @@ def test_should_skip_refresh(tmpdir_path):
                        "offsets": {}, "lineage": {"lsn_range": [0, 10]}})
     assert should_skip_refresh(store, 24, now=now)  # 1h old < 24h
     assert not should_skip_refresh(store, 0.5, now=now)  # 1h old > 30min
+
+
+def test_asof_join_null_fields_do_not_mix_versions(spark):
+    """A right version with a NULL field must not inherit that field
+    from an OLDER version (the whole payload travels atomically)."""
+    import datetime
+
+    from etl_warehouse_agnostic_spark.operators.joins import asof_join
+
+    d = datetime.datetime
+    left = spark.createDataFrame(
+        [("u1", d(2024, 1, 5), 100), ("u1", d(2024, 1, 1), 101), ("u2", d(2024, 1, 5), 102)],
+        "user_id string, ts timestamp, event_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", d(2024, 1, 2), "gold", "NYC"),
+            ("u1", d(2024, 1, 4), None, "LA"),  # tier became NULL in v2
+        ],
+        "user_id string, ts timestamp, tier string, city string",
+    )
+    out = {
+        r["event_id"]: (r["r_tier"], r["r_city"])
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert out[100] == (None, "LA")  # v2 wholesale — NOT (gold, LA)
+    assert out[101] == (None, None)  # no version at-or-before
+    assert out[102] == (None, None)  # unknown key
