@@ -1,0 +1,45 @@
+"""Plan lint: mechanical scale-killer guard over the harness surface.
+
+For every (lazy) harness query, inspect the physical plan and assert:
+
+- **no row-at-a-time Python** (``BatchEvalPython``) anywhere — Arrow
+  paths (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``)
+  are the only sanctioned Python boundaries;
+- **no unexpected single-partition exchanges** — a
+  ``SinglePartition`` shuffle is legal only to finish a ≤1-row global
+  aggregate (the recall gates, the expectations battery); anything else
+  (a global window, a global orderBy feeding more work) is the classic
+  silent scale-killer this suite exists to catch.
+
+Engine-e2e queries (they materialize temp tables) are exercised by
+their own tests and skipped here.
+"""
+
+import pytest
+
+from etl_warehouse_agnostic_spark.harness import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# Queries that build real tables / run the engine at construction time.
+SKIP = {"cdc_engine_e2e", "cdc_engine_bounded_e2e", "full_refresh", "csv_roundtrip"}
+
+# Queries whose FINAL result is a global ≤1-row (or top-k) aggregate —
+# one SinglePartition exchange to finish it is the correct plan.
+GLOBAL_FINAL_OK = {
+    "ivf_recall", "simhash_recall", "blocked_near_pairs_recall",
+    "expectations", "topk_customers",
+}
+
+
+@pytest.mark.parametrize("name", [q for q in QUERIES if q not in SKIP])
+def test_plan_has_no_scale_killers(spark, name):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    single = plan.count("SinglePartition")
+    limit = 1 if name in GLOBAL_FINAL_OK else 0
+    assert single <= limit, (
+        f"{name}: {single} SinglePartition exchange(s) (allowed {limit}) — "
+        "global window/orderBy collapsing the data onto one task?"
+    )
