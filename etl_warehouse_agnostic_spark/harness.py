@@ -343,6 +343,42 @@ def q_revenue_by_region(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Reporting rollup (dbt-mart shape): revenue by (region, status)
+    with ROLLUP subtotals + grand total, grouping id exposed."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "o_orderstatus")
+        .agg(
+            F.grouping_id("r_name", "o_orderstatus").cast("int").alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("r_name", "o_orderstatus", "gid", "revenue", "n_orders")
+    )
+
+
+def q_percentile_summary(spark, sf_dir):
+    """Exact continuous percentiles of order value per status —
+    the DQ/reporting quantile surface."""
+    o = load(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return o.groupBy("o_orderstatus").agg(
+        F.round(pct[0], 4).alias("p50"),
+        F.round(pct[1], 4).alias("p90"),
+        F.round(pct[2], 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_topk_customers(spark, sf_dir):
     """§2.6 top-k: deterministic order-by-limit."""
     o = load(spark, sf_dir, "orders")
@@ -854,6 +890,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metadata_stamping": q_metadata_stamping,
     "pricing_summary": q_pricing_summary,
     "revenue_by_region": q_revenue_by_region,
+    "rollup_revenue": q_rollup_revenue,
+    "percentile_summary": q_percentile_summary,
     "topk_customers": q_topk_customers,
     "completeness_ratio": q_completeness_ratio,
     "clean_tabular": q_clean_tabular,
@@ -1045,6 +1083,25 @@ ORACLES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "rollup_revenue": """
+        SELECT r_name, o_orderstatus,
+               CAST(GROUPING(r_name) * 2 + GROUPING(o_orderstatus) AS INT) AS gid,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, o_orderstatus)
+    """,
+    "percentile_summary": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
     """,
     "topk_customers": """
         SELECT o_custkey, round(sum(o_totalprice), 2) AS total, count(*) AS n
