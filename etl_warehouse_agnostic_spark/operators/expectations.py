@@ -72,6 +72,10 @@ def run_expectations(df: DataFrame, checks: list[Expectation]) -> DataFrame:
     Returns (check, observed double, passed boolean) — one row per
     expectation, deterministic order by check name.
     """
+    if not checks:
+        return df.sparkSession.createDataFrame(
+            [], "check string, observed double, passed boolean"
+        )
     aggs = [e.metric.alias(f"_m{i}") for i, e in enumerate(checks)]
     one = df.agg(*aggs)
     structs = [
