@@ -343,6 +343,45 @@ def q_revenue_by_region(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization per user (10-minute inactivity gap) —
+    per-key windows only, no global exchange."""
+    from etl_warehouse_agnostic_spark.operators.sessions import sessionize
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessionize(e, ["user_id"], "ts", gap_seconds=600, tiebreak_cols=["event_id"])
+    return out.select("event_id", "user_id", "session_seq", "session_id")
+
+
+def q_set_ops(spark, sf_dir):
+    """§2.7 set operations: nations with customers vs suppliers —
+    INTERSECT / EXCEPT with a disposition tag."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return (
+        c.intersect(s).withColumn("which", F.lit("both"))
+        .unionByName(c.subtract(s).withColumn("which", F.lit("customers_only")))
+        .unionByName(s.subtract(c).withColumn("which", F.lit("suppliers_only")))
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    """Reporting pivot: order counts per priority × status (explicit
+    pivot values → static schema, no extra distinct-scan job)."""
+    o = load(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Reporting rollup (dbt-mart shape): revenue by (region, status)
     with ROLLUP subtotals + grand total, grouping id exposed."""
@@ -890,6 +929,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metadata_stamping": q_metadata_stamping,
     "pricing_summary": q_pricing_summary,
     "revenue_by_region": q_revenue_by_region,
+    "sessionize": q_sessionize,
+    "set_ops": q_set_ops,
+    "pivot_status": q_pivot_status,
     "rollup_revenue": q_rollup_revenue,
     "percentile_summary": q_percentile_summary,
     "topk_customers": q_topk_customers,
@@ -1083,6 +1125,45 @@ ORACLES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "sessionize": """
+        WITH lagged AS (
+          SELECT event_id, user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        flagged AS (
+          SELECT *, CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 600 * 1000000
+                         THEN 1 ELSE 0 END AS is_new
+          FROM lagged),
+        numbered AS (
+          SELECT event_id, user_id,
+                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+          FROM flagged)
+        SELECT event_id, user_id, session_seq,
+               CAST(user_id AS VARCHAR) || '#' || CAST(session_seq AS VARCHAR) AS session_id
+        FROM numbered
+    """,
+    "set_ops": """
+        SELECT nationkey, 'both' AS which FROM
+          (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+           INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'customers_only' FROM
+          (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+           EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'suppliers_only' FROM
+          (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+           EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+    """,
+    "pivot_status": """
+        SELECT o_orderpriority,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+        FROM orders GROUP BY o_orderpriority
     """,
     "rollup_revenue": """
         SELECT r_name, o_orderstatus,
