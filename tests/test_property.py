@@ -111,3 +111,48 @@ def test_lww_dedup_keyed_nulls_last_matches_python_model(spark, events):
         )
         got = {r["biz_key"]: r["lsn"] for r in out.select("biz_key", "lsn").collect()}
         assert got == want, method
+
+
+# ---- as-of join vs a pure-Python model ----
+
+asof_case = st.tuples(
+    st.integers(0, 2),   # key
+    st.integers(0, 20),  # ts (seconds)
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    st.lists(asof_case, min_size=1, max_size=25),   # left events
+    st.lists(asof_case, min_size=0, max_size=15),   # right versions
+)
+def test_asof_join_matches_python_model(spark, lefts, rights):
+    """asof_join == brute-force model: latest right with ts <= left.ts
+    per key (right de-duplicated per (key, ts) by max version id)."""
+    import datetime
+
+    from etl_warehouse_agnostic_spark.operators.joins import asof_join
+
+    base = datetime.datetime(2024, 1, 1)
+    sec = datetime.timedelta(seconds=1)
+    l_rows = [(f"k{k}", base + t * sec, i) for i, (k, t) in enumerate(lefts)]
+    # dedupe right per (key, ts): keep max version id (deterministic)
+    r_best = {}
+    for j, (k, t) in enumerate(rights):
+        r_best[(f"k{k}", t)] = max(r_best.get((f"k{k}", t), -1), j)
+    r_rows = [(k, base + t * sec, f"v{j}") for (k, t), j in r_best.items()]
+
+    left = spark.createDataFrame(l_rows, "key string, ts timestamp, event_id int")
+    right = spark.createDataFrame(
+        r_rows or [("_none", base, "v_")], "key string, ts timestamp, ver string"
+    )
+    got = {
+        r["event_id"]: r["r_ver"]
+        for r in asof_join(left, right, on=["key"]).collect()
+    }
+    want = {}
+    for k, ts, i in l_rows:
+        cand = [(rts, v) for (rk, rts, v) in r_rows if rk == k and rts <= ts]
+        want[i] = max(cand)[1] if cand else None
+    assert got == want
