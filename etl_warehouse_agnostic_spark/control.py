@@ -10,6 +10,7 @@ Spark job.
 
 from __future__ import annotations
 
+import calendar
 import time
 
 from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
@@ -25,7 +26,10 @@ def last_refresh_epoch_ts(manifests: ManifestStore) -> float | None:
     committed_at = manifests.get(last).get("committed_at")
     if not committed_at:
         return None
-    return time.mktime(time.strptime(str(committed_at), _TS_FMT)) - time.timezone
+    # committed_at is UTC; timegm converts the UTC struct_time directly.
+    # (mktime interprets it as LOCAL time and guesses DST — off by an
+    # hour on non-UTC hosts in summer.)
+    return float(calendar.timegm(time.strptime(str(committed_at), _TS_FMT)))
 
 
 def should_skip_refresh(

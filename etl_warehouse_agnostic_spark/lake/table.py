@@ -440,7 +440,10 @@ class LakeTable:
                 os.rmdir(root)
 
     def rewrite_small_files(
-        self, target_file_bytes: int = 128 * 1024 * 1024, min_files: int = 2
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+        max_retries: int = 3,
     ) -> dict:
         """Compaction (Iceberg rewrite_data_files / MergeTree background
         merge analog): bin-pack each bucket whose file set is fragmented
@@ -455,7 +458,28 @@ class LakeTable:
         epochs the scan cost becomes file-count-bound without this.
         Candidate selection is driver-side metadata only; the rewrite
         reads and writes ONLY the fragmented buckets.
+
+        Concurrency: same optimistic retry as ``merge`` — a losing
+        attempt deletes its freshly written file set and re-derives
+        candidates from the fresh snapshot instead of stranding them
+        until the orphan-GC grace window.
         """
+        import shutil as _shutil
+
+        last_exc: Exception | None = None
+        for _attempt in range(max_retries + 1):
+            try:
+                return self._rewrite_small_files_attempt(target_file_bytes, min_files)
+            except CommitConflict as e:
+                last_exc = e
+                if e.written_dir:
+                    _shutil.rmtree(e.written_dir, ignore_errors=True)
+                continue
+        raise last_exc  # type: ignore[misc]
+
+    def _rewrite_small_files_attempt(
+        self, target_file_bytes: int, min_files: int
+    ) -> dict:
         cur = self.snapshot()
         candidates: list[int] = []
         for b, paths in cur["files"].items():
@@ -485,7 +509,11 @@ class LakeTable:
              "buckets_compacted": len(candidates),
              "files_before": files_before, "files_after": files_after}
         )
-        v = self._commit(snap)
+        try:
+            v = self._commit(snap)
+        except CommitConflict as e:
+            e.written_dir = os.path.join(self.data_dir, tag)
+            raise
         return {
             "buckets_compacted": len(candidates),
             "files_before": files_before,
@@ -493,7 +521,7 @@ class LakeTable:
             "version": v,
         }
 
-    def rebucket(self, new_num_buckets: int) -> dict:
+    def rebucket(self, new_num_buckets: int, max_retries: int = 3) -> dict:
         """Bucket-count evolution: full rewrite of the table into
         ``new_num_buckets`` hash buckets, committed as one atomic
         snapshot. The escape hatch for a table created small that grew
@@ -502,10 +530,25 @@ class LakeTable:
         layout, so this is necessarily a full-table job — run it like
         Iceberg's ``rewrite_data_files`` with a partition-spec change.
         Readers see old or new layout atomically; committed epochs and
-        schema carry forward unchanged.
+        schema carry forward unchanged. Commit conflicts retry with
+        cleanup, same as ``merge``.
         """
         if new_num_buckets < 1:
             raise ValueError("new_num_buckets must be >= 1")
+        import shutil as _shutil
+
+        last_exc: Exception | None = None
+        for _attempt in range(max_retries + 1):
+            try:
+                return self._rebucket_attempt(new_num_buckets)
+            except CommitConflict as e:
+                last_exc = e
+                if e.written_dir:
+                    _shutil.rmtree(e.written_dir, ignore_errors=True)
+                continue
+        raise last_exc  # type: ignore[misc]
+
+    def _rebucket_attempt(self, new_num_buckets: int) -> dict:
         cur = self.snapshot()
         data = self._read_files(cur).drop(_BUCKET)
         data = data.withColumn(
@@ -520,7 +563,11 @@ class LakeTable:
             {"rows_written": observed["rows"], "bytes_written": nbytes,
              "old_num_buckets": cur["num_buckets"], "new_num_buckets": new_num_buckets}
         )
-        v = self._commit(snap)
+        try:
+            v = self._commit(snap)
+        except CommitConflict as e:
+            e.written_dir = os.path.join(self.data_dir, tag)
+            raise
         return {"version": v, "num_buckets": new_num_buckets, "rows": observed["rows"]}
 
     def merge(

@@ -108,11 +108,13 @@ def global_row_number(
     Scheme: range-repartition on the sort key (the same distributed
     sort a global orderBy plans), sort within partitions, then number
     as ``monotonically_increasing_id`` offsets + per-partition base
-    offsets from a tiny (≤ num_partitions rows) census. Two passes over
-    the data, both fully parallel. Determinism note: both passes replay
-    the same range exchange; Spark's RangePartitioner samples with a
-    fixed per-partition seed, so boundaries are stable for a given
-    input.
+    offsets from a tiny (≤ num_partitions rows) census. Two reads of
+    ONE materialization: the ranged frame is localCheckpoint()ed so the
+    census collect and the final projection observe the SAME partitions
+    even when the upstream plan is nondeterministic (fresh uuid/rand
+    columns, source files changed between executions). Without the
+    checkpoint the range exchange would replay twice and the two reads
+    could disagree, yielding colliding row numbers.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -124,6 +126,7 @@ def global_row_number(
             F.spark_partition_id().alias("_pid"),
             F.monotonically_increasing_id().alias("_mid"),
         )
+        .localCheckpoint(eager=True)
     )
     # census: rows + first mono-id per physical partition (mono-ids are
     # consecutive within a partition, so rank = _mid - min_mid)

@@ -35,7 +35,7 @@ def asof_join(
     Ties (right.ts == left.ts) take the right row (<= semantics, same
     as DuckDB/QuestDB ASOF JOIN).
     """
-    l_payload = [c for c in left.columns if c not in on]
+    l_payload = [c for c in left.columns if c not in on and c != left_ts]
     r_payload = [c for c in right.columns if c not in on and c != right_ts]
 
     # The whole right payload travels as ONE nullable struct: carrying

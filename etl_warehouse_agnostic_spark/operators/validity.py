@@ -32,7 +32,10 @@ def filter_valid(
     for c in required_cols or []:
         named.append((f"null_{c}", F.col(c).isNotNull()))
     for reason, pred in (rules or {}).items():
-        named.append((reason, pred))
+        # Null-safe: a predicate that evaluates to NULL (SQL three-valued
+        # logic, e.g. v > 0 with v NULL) must FAIL the rule, not vanish
+        # from both sides of the split.
+        named.append((reason, F.coalesce(pred, F.lit(False))))
     if not named:
         return df, df.where(F.lit(False)).withColumn("_reject_reason", F.lit(None).cast("string"))
     all_ok = F.lit(True)

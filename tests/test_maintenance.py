@@ -164,6 +164,56 @@ def test_rebucket_evolution(spark, tmpdir_path):
     assert t.read().where("conv_id='conv_00000001' and turn_idx=0").first().text == "v2"
 
 
+def test_maintenance_commit_conflict_retries_and_cleans_up(spark, tmpdir_path):
+    """A maintenance commit losing the version race must delete its
+    written file set and retry against the fresh snapshot (same
+    contract merge has) — not strand files until orphan GC."""
+    import json
+    import shutil
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=2
+    )
+    t.max_records_per_file = 10
+    t.overwrite(generate_base_transcripts(spark, n_convs=20, turns_per_conv=4))
+    t.max_records_per_file = None
+    before = _content_hash(t.read())
+
+    # Plant a competing commit at the NEXT version: a valid metadata-only
+    # snapshot (as a racing writer's no-op merge would produce).
+    cur = t.snapshot()
+    rival = dict(cur)
+    rival["version"] = cur["version"] + 1
+    rival["parent"] = cur["version"]
+    rival["summary"] = {"operation": "merge", "epoch_id": None}
+    with open(os.path.join(t.meta_dir, f"v{rival['version']:08d}.json"), "w") as f:
+        json.dump(rival, f)
+
+    files_before_attempt = set(_all_parquet(t.data_dir))
+    res = t.rewrite_small_files(target_file_bytes=1 << 30, min_files=2)
+    assert res["buckets_compacted"] >= 1
+    assert t.latest_version() == rival["version"] + 1  # retried past rival
+    assert _content_hash(t.read()) == before
+    # the losing attempt's files were reclaimed: every on-disk file is
+    # either pre-existing or referenced by the latest snapshot
+    referenced = {
+        os.path.join(t.path, p) for ps in t.snapshot()["files"].values() for p in ps
+    }
+    for f in _all_parquet(t.data_dir):
+        assert f in referenced or f in files_before_attempt, f"stranded {f}"
+
+    # same for rebucket
+    cur = t.snapshot()
+    rival2 = dict(cur)
+    rival2["version"] = cur["version"] + 1
+    rival2["parent"] = cur["version"]
+    with open(os.path.join(t.meta_dir, f"v{rival2['version']:08d}.json"), "w") as f:
+        json.dump(rival2, f)
+    res2 = t.rebucket(4)
+    assert res2["num_buckets"] == 4
+    assert _content_hash(t.read()) == before
+
+
 def test_concurrent_merges_retry_and_both_land(spark, tmpdir_path):
     """Optimistic commit-retry: two writers racing for the same version
     on DIFFERENT keys must both land (the loser retries against the

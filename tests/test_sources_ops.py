@@ -71,6 +71,20 @@ def test_filter_valid_first_reason_wins(spark):
     assert "_reject_reason" in r2.columns
 
 
+def test_filter_valid_null_predicate_lands_in_rejects(spark):
+    """SQL three-valued logic: a rule evaluating to NULL (v > 0 with v
+    NULL) must FAIL the rule — the row lands in rejects, never vanishes
+    from both sides (valid ∪ rejects == input, exactly)."""
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, -1)], "id int, v int"
+    )
+    valid, rejects = filter_valid(df, rules={"v_pos": F.col("v") > 0})
+    assert [r["id"] for r in valid.orderBy("id").collect()] == [1]
+    got = {r["id"]: r["_reject_reason"] for r in rejects.collect()}
+    assert got == {2: "v_pos", 3: "v_pos"}
+    assert valid.count() + rejects.count() == df.count()
+
+
 def test_should_skip_refresh(tmpdir_path):
     store = ManifestStore(os.path.join(tmpdir_path, "ck"))
     assert not should_skip_refresh(store, 24)  # never ran → extract
@@ -108,3 +122,23 @@ def test_asof_join_null_fields_do_not_mix_versions(spark):
     assert out[100] == (None, "LA")  # v2 wholesale — NOT (gold, LA)
     assert out[101] == (None, None)  # no version at-or-before
     assert out[102] == (None, None)  # unknown key
+
+
+def test_asof_join_no_duplicate_ts_column(spark):
+    """Output must carry exactly ONE left-timestamp column, and it must
+    be selectable/filterable downstream (no AMBIGUOUS_REFERENCE)."""
+    import datetime
+
+    from etl_warehouse_agnostic_spark.operators.joins import asof_join
+
+    d = datetime.datetime
+    left = spark.createDataFrame(
+        [("u1", d(2024, 1, 5), 100)], "user_id string, ts timestamp, event_id int"
+    )
+    right = spark.createDataFrame(
+        [("u1", d(2024, 1, 2), "gold")], "user_id string, ts timestamp, tier string"
+    )
+    out = asof_join(left, right, on=["user_id"])
+    assert out.columns.count("ts") == 1
+    # downstream reference on ts must resolve
+    assert out.where(F.col("ts") >= d(2024, 1, 1)).select("ts", "r_tier").count() == 1
