@@ -798,8 +798,10 @@ def q_training_pipeline(spark, sf_dir):
     q = text.quality_score(d, "doc_id", "text").where(F.col("keep"))
     lang = text.language_id(d, "doc_id", "text").select("doc_id", "lang_pred")
     kept = d.join(q.select("doc_id"), "doc_id").join(lang, "doc_id")
+    # Hash-first dedup key (md5 of the normalized body, not the body):
+    # the exchange carries 16 B/doc instead of the whole corpus.
     deduped = (
-        kept.groupBy(F.col("lang_pred"), text.normalize_text("text").alias("_norm"))
+        kept.groupBy(F.col("lang_pred"), F.md5(text.normalize_text("text")).alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"))
     )
     return deduped.groupBy("lang_pred").agg(

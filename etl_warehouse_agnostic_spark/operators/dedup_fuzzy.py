@@ -27,11 +27,20 @@ from etl_warehouse_agnostic_spark.operators.text import normalize_text, word_shi
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep the smallest id per identical normalized text."""
+    """Keep the smallest id per identical normalized text.
+
+    The groupBy key is ``md5(normalized_text)``, NOT the text itself:
+    grouping by the full body would make the shuffle exchange carry the
+    whole corpus (at 100 TB, the corpus twice — once in the key, once
+    in the partial-agg rows). Hash-first drops the shuffle key to
+    16 bytes/doc with identical groups. md5 (128-bit) rather than
+    xxhash64 because at 10^10 docs a 64-bit key expects ~3 birthday
+    collisions; 128-bit expects ~10^-19.
+    """
     return (
-        df.groupBy(normalize_text(text_col).alias("_norm"))
+        df.groupBy(F.md5(normalize_text(text_col)).alias("_h"))
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
-        .drop("_norm")
+        .drop("_h")
     )
 
 

@@ -43,3 +43,20 @@ def test_plan_has_no_scale_killers(spark, name):
         f"{name}: {single} SinglePartition exchange(s) (allowed {limit}) — "
         "global window/orderBy collapsing the data onto one task?"
     )
+
+
+@pytest.mark.parametrize("name", ["exact_dedup", "training_pipeline"])
+def test_dedup_shuffle_key_is_hash_not_text(spark, name):
+    """The dedup exchange must key on md5(normalized text), never the
+    text itself — at corpus scale a full-text shuffle key carries the
+    whole corpus through the exchange."""
+    df = QUERIES[name](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "md5(" in opt, f"{name}: no md5 hash key in plan"
+    # No Aggregate may group on the normalized text directly (Catalyst
+    # pushes the md5 into a Project; the Aggregate keys on its output).
+    bad = [
+        l for l in opt.splitlines()
+        if l.strip().startswith("Aggregate") and "regexp_replace" in l
+    ]
+    assert not bad, f"{name}: aggregate keyed on raw text: {bad}"
