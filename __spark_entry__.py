@@ -2,11 +2,12 @@
 
 Thin shim over ``etl_warehouse_agnostic_spark.harness``: one
 (Spark query, DuckDB oracle) pair per implemented operator from
-SURVEY.md §2 plus the training-data ops. ``simhash_pairs`` and
-``ivf_topk`` intentionally have no oracle (bit-twiddling / approximate
-paths not portably SQL-expressible) → rows-only check; their QUALITY is
-oracle-gated by ``simhash_recall`` / ``ivf_recall`` instead (measured
-recall vs the exact baseline, hashed against a stated floor).
+SURVEY.md §2 plus the training-data ops. Every registry entry has a
+full value-hash oracle; the approximate operators (IVF top-k, SimHash
+near-pairs, IVF-cell-blocked near-dups) are exercised inside
+``recall_gates``, whose oracle re-derives each gate's exact-baseline
+count and asserts the measured recall floor as a literal — the hash
+fails iff an approximate index loses recall.
 """
 
 from __future__ import annotations

@@ -21,22 +21,41 @@ import shutil
 import sys
 import time
 
+# r3 renames vs r2 timings: lww_dedup_strategies = lww_dedup_salted +
+# lww_dedup_window unioned (≈ their sum); text_battery = text_quality +
+# token_counts (+ lang-id + fingerprint) in one pass; media_battery =
+# multimodal_features + resize plan joined.
 HEADLINE = [
-    "lww_dedup_salted",
-    "lww_dedup_window",
+    "lww_dedup_strategies",
     "cdc_final_state",
     "merge_upsert",
     "dup_batch_anti_join",
+    "asof_join",
+    "sessionize",
     "pricing_summary",
     "revenue_by_region",
     "topk_customers",
     "exact_dedup",
     "minhash_lsh",
     "cosine_topk",
-    "text_quality",
-    "token_counts",
-    "multimodal_features",
+    "blocked_near_pairs",
+    "text_battery",
+    "media_battery",
 ]
+
+
+def _q_blocked_near_pairs(spark, sf_dir):
+    """Bench-only: the sub-quadratic near-dup scale path directly over
+    the embeddings table (the registry times it inside recall_gates,
+    which also pays for the exact baseline)."""
+    from pyspark.sql import functions as F
+
+    from etl_warehouse_agnostic_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.blocked_near_pairs(emb, threshold=0.9, num_centroids=32, nprobe=2)
 
 
 def main() -> int:
@@ -83,7 +102,7 @@ def main() -> int:
         # ---- per-query timings ----
         timings: dict[str, float] = {"cdc_apply_loop": round(apply_wall, 3)}
         for name in HEADLINE:
-            fn = QUERIES[name]
+            fn = QUERIES.get(name) or {"blocked_near_pairs": _q_blocked_near_pairs}[name]
             t0 = time.monotonic()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.monotonic() - t0, 3)

@@ -85,19 +85,26 @@ LWW_SQL = f"""
 
 # ------------------------------------------------------------ CDC core
 
-def q_lww_dedup_window(spark, sf_dir):
-    """W1: salted-repartition window LWW dedup."""
-    d = lww_dedup_window(_changes(spark, sf_dir), KEYS, ORDER, num_salts=8)
-    return d.select("conv_id", "turn_idx", "op", "lsn")
+def q_lww_dedup_strategies(spark, sf_dir):
+    """W1+T8: BOTH LWW dedup strategies — salted-repartition window
+    and two-phase salted max_by — tagged and unioned, so one driver row
+    proves each against the same SQL LWW oracle (and therefore against
+    each other)."""
+    chg = _changes(spark, sf_dir)
+    w = lww_dedup_window(chg, KEYS, ORDER, num_salts=8).select(
+        F.lit("window").alias("strategy"), "conv_id", "turn_idx", "op", "lsn"
+    )
+    s = lww_dedup_salted(chg, KEYS, ORDER, num_salts=8).select(
+        F.lit("salted").alias("strategy"), "conv_id", "turn_idx", "op", "lsn"
+    )
+    return w.unionByName(s)
 
 
-def q_lww_dedup_salted(spark, sf_dir):
-    """T8+W1: two-phase salted max_by LWW dedup (same answer)."""
-    d = lww_dedup_salted(_changes(spark, sf_dir), KEYS, ORDER, num_salts=8)
-    return d.select("conv_id", "turn_idx", "op", "lsn")
-
-
-_LWW_ORACLE = f"SELECT conv_id, turn_idx, op, lsn FROM ({LWW_SQL})"
+_LWW_ORACLE = f"""
+    SELECT 'window' AS strategy, conv_id, turn_idx, op, lsn FROM ({LWW_SQL})
+    UNION ALL
+    SELECT 'salted' AS strategy, conv_id, turn_idx, op, lsn FROM ({LWW_SQL})
+"""
 
 
 def q_lww_dedup_nulls_last(spark, sf_dir):
@@ -236,10 +243,32 @@ def q_ordinal_numbering(spark, sf_dir):
 # ------------------------------------------------- scalars / projection
 
 def q_scalar_battery(spark, sf_dir):
-    """§2.8: the reference's scalar surface — trim/upper/lower, nullif/
-    coalesce, CASE (multiIf), instr, substring, replace, concat,
-    date-part extraction — over events."""
+    """§2.8: the reference's whole scalar surface in one projection —
+    trim/upper/lower, nullif/coalesce, CASE (multiIf), instr,
+    substring, replace, concat, date-part extraction, Microsoft
+    JSON-date round-trip (extractor.py:512-548 port), lenient bool
+    parse, guarded decimal parse, best-effort timestamp parse — over
+    events. One row per event; one narrow pass."""
     e = load(spark, sf_dir, "events")
+    ms_str = F.format_string("/Date(%d+0000)/", F.unix_millis(F.col("ts").cast("timestamp")))
+    bool_str = (
+        F.when(F.col("event_type") == "view", "Yes")
+        .when(F.col("event_type") == "click", "1")
+        .when(F.col("event_type") == "purchase", "f")
+        .when(F.col("event_type") == "signup", "no")
+        .otherwise("maybe")
+    )
+    dec_str = (
+        F.when(F.col("event_id") % 3 == 0, "12.5")
+        .when(F.col("event_id") % 3 == 1, "abc")
+        .otherwise("-7")
+    )
+    ts_str = (
+        F.when(F.col("event_id") % 4 == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(F.col("event_id") % 4 == 1, ms_str)
+        .when(F.col("event_id") % 4 == 2, F.date_format("ts", "yyyy/MM/dd HH:mm:ss"))
+        .otherwise(F.lit("not a timestamp"))
+    )
     return e.select(
         "event_id",
         F.upper("event_type").alias("etype_u"),
@@ -256,18 +285,11 @@ def q_scalar_battery(spark, sf_dir):
         F.hour("ts").alias("h"),
         F.to_date("ts").alias("dt"),
         F.floor("value").cast("long").alias("value_floor"),
-    )
-
-
-def q_microsoft_json_date(spark, sf_dir):
-    """§2.8: Microsoft JSON-date round-trip — build '/Date(ms+0000)/'
-    from ts, parse it back vectorized (extractor.py:512-548 port)."""
-    e = load(spark, sf_dir, "events")
-    ms_str = F.format_string("/Date(%d+0000)/", F.unix_millis(F.col("ts").cast("timestamp")))
-    return e.select(
-        "event_id",
         ms_str.alias("ms_date_str"),
-        parse_microsoft_json_date(ms_str).alias("parsed_ts"),
+        parse_microsoft_json_date(ms_str).alias("ms_parsed_ts"),
+        to_bool_lenient(bool_str).alias("b"),
+        try_decimal(dec_str).cast("string").alias("dec_s"),
+        parse_timestamp_best_effort(ts_str).alias("be_parsed_ts"),
     )
 
 
@@ -522,39 +544,6 @@ def q_promote_first_element(spark, sf_dir):
     return out.select("p_partkey", "primary_name", "primary_brand")
 
 
-def q_scalar_battery_2(spark, sf_dir):
-    """§2.8 part 2: lenient bool parse, guarded decimal parse, and
-    best-effort timestamp parse over four generated shapes."""
-    e = load(spark, sf_dir, "events")
-    bool_str = (
-        F.when(F.col("event_type") == "view", "Yes")
-        .when(F.col("event_type") == "click", "1")
-        .when(F.col("event_type") == "purchase", "f")
-        .when(F.col("event_type") == "signup", "no")
-        .otherwise("maybe")
-    )
-    dec_str = (
-        F.when(F.col("event_id") % 3 == 0, "12.5")
-        .when(F.col("event_id") % 3 == 1, "abc")
-        .otherwise("-7")
-    )
-    ts_str = (
-        F.when(F.col("event_id") % 4 == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
-        .when(
-            F.col("event_id") % 4 == 1,
-            F.format_string("/Date(%d+0000)/", F.unix_millis(F.col("ts").cast("timestamp"))),
-        )
-        .when(F.col("event_id") % 4 == 2, F.date_format("ts", "yyyy/MM/dd HH:mm:ss"))
-        .otherwise(F.lit("not a timestamp"))
-    )
-    return e.select(
-        "event_id",
-        to_bool_lenient(bool_str).alias("b"),
-        try_decimal(dec_str).cast("string").alias("dec_s"),
-        parse_timestamp_best_effort(ts_str).alias("parsed_ts"),
-    )
-
-
 def q_flatten_rules(spark, sf_dir):
     """P2: rule-based flatten — money struct {amount,currency} → two
     scalars; array<struct<name,..>> → pipe-joined names + count."""
@@ -658,21 +647,10 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
-def q_simhash_pairs(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    return dedup_fuzzy.simhash_near_pairs(d, "doc_id", "text", max_hamming=8)
-
-
 def q_cosine_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return similarity.cosine_topk(emb, queries, k=3)
-
-
-def q_ivf_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5)
-    return similarity.ivf_topk(emb, queries, num_centroids=8, nprobe=2, k=3)
 
 
 def _planted_embeddings(spark, sf_dir):
@@ -700,7 +678,7 @@ def q_cosine_near_pairs(spark, sf_dir):
     return similarity.cosine_near_pairs(emb, threshold=0.95)
 
 
-def q_blocked_near_pairs_recall(spark, sf_dir):
+def _g_blocked_near_pairs_recall(spark, sf_dir):
     """Scale-path quality gate: IVF-cell-blocked near-dup pairs must
     recover ≥ 0.8 of the exact cosine ≥ 0.95 pairs (near-identical
     vectors share their top cell, so cell blocking keeps them)."""
@@ -721,7 +699,7 @@ def q_blocked_near_pairs_recall(spark, sf_dir):
     )
 
 
-def q_ivf_recall(spark, sf_dir):
+def _g_ivf_recall(spark, sf_dir):
     """IVF quality gate: measured recall@3 of the k-means IVF index vs
     the exact brute-force baseline, hashed against a stated floor. The
     oracle re-derives n_pairs from the brute-force SQL and asserts the
@@ -743,7 +721,7 @@ def q_ivf_recall(spark, sf_dir):
     )
 
 
-def q_simhash_recall(spark, sf_dir):
+def _g_simhash_recall(spark, sf_dir):
     """SimHash quality gate: of the exact-Jaccard near-dup pairs
     (jaccard ≥ 0.5), the fraction also found by simhash_near_pairs at
     hamming ≤ 8 must clear 0.8. n_true is SQL-derivable; the floor is
@@ -766,28 +744,36 @@ def q_simhash_recall(spark, sf_dir):
     )
 
 
-def q_text_quality(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    return text.quality_score(d, "doc_id", "text")
-
-
-def q_token_counts(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        text.token_count_whitespace("text").alias("ws_tokens"),
-        text.token_count_bpe_ish("text").alias("bpe_tokens"),
+def q_recall_gates(spark, sf_dir):
+    """All three approximate-operator quality gates as one 3-row
+    battery: (gate, n_true, recall_ge_080). Each gate runs the
+    approximate scale path (IVF top-k / SimHash blocking / IVF-cell
+    near-dup blocking) against its exact baseline and asserts the
+    measured recall clears 0.8 — the oracle re-derives n_true with
+    exact SQL and asserts the floor as a literal, so the driver hash
+    fails iff an approximate index loses recall."""
+    ivf = _g_ivf_recall(spark, sf_dir).select(
+        F.lit("ivf_topk").alias("gate"),
+        F.col("n_pairs").alias("n_true"),
+        "recall_ge_080",
     )
+    sim = _g_simhash_recall(spark, sf_dir).select(
+        F.lit("simhash_pairs").alias("gate"), "n_true", "recall_ge_080"
+    )
+    blk = _g_blocked_near_pairs_recall(spark, sf_dir).select(
+        F.lit("blocked_near_pairs").alias("gate"), "n_true", "recall_ge_080"
+    )
+    return ivf.unionByName(sim).unionByName(blk)
 
 
-def q_lang_id(spark, sf_dir):
+def q_text_battery(spark, sf_dir):
+    """The whole text-analysis surface in ONE narrow pass
+    (operators/text.text_features): quality features + keep flag,
+    whitespace + BPE-ish token counts, language-ID, md5 fingerprint.
+    pytest proves text_features == the per-facet operators
+    (quality_score / token counts / language_id / fingerprint)."""
     d = load(spark, sf_dir, "documents")
-    return text.language_id(d, "doc_id", "text")
-
-
-def q_fingerprint(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    return text.fingerprint(d, "doc_id", "text").select("doc_id", "fp_md5")
+    return text.text_features(d, "doc_id", "text")
 
 
 def q_training_pipeline(spark, sf_dir):
@@ -810,24 +796,23 @@ def q_training_pipeline(spark, sf_dir):
     )
 
 
-def q_multimodal_features(spark, sf_dir):
+def q_media_battery(spark, sf_dir):
+    """Multimodal plumbing in one row: Arrow mapInPandas feature
+    extraction (byte length, payload md5, declared decode stub) joined
+    with the pure-Column resize plan over the same media table."""
     d = load(spark, sf_dir, "documents")
     media = multimodal.to_media_table(d, "doc_id", "text")
-    return multimodal.extract_features(media)
-
-
-def q_media_resize_plan(spark, sf_dir):
-    """Resize planning over the fake media table (width = text length,
-    height = 1), longer side bounded to 100."""
-    d = load(spark, sf_dir, "documents")
-    media = multimodal.to_media_table(d, "doc_id", "text")
-    return multimodal.plan_resize(media, max_dim=100)
+    feats = multimodal.extract_features(media)
+    resize = multimodal.plan_resize(media, max_dim=100)
+    return feats.join(resize, "media_id")
 
 
 def q_media_frame_sample(spark, sf_dir):
-    """Frame-sampling fan-out: one row per 7 ms stride over synthetic
-    clip durations derived from events.value."""
-    e = load(spark, sf_dir, "events").where(F.col("event_id") <= 3000)
+    """Frame-sampling fan-out: one row per 29 ms stride over synthetic
+    clip durations derived from events.value. (Stride/event-cap sized
+    so the row fan-out stays ~200k — cheap enough for the driver's
+    exhaustive gate while still exercising the explode path.)"""
+    e = load(spark, sf_dir, "events").where(F.col("event_id") <= 1000)
     media = e.select(
         F.col("event_id").alias("media_id"),
         F.lit(None).cast("binary").alias("payload"),
@@ -839,15 +824,18 @@ def q_media_frame_sample(spark, sf_dir):
             F.lit("raw").alias("codec"),
         ).alias("meta"),
     )
-    return multimodal.sample_frame_offsets(media, every_ms=7)
+    return multimodal.sample_frame_offsets(media, every_ms=29)
 
 
 # ------------------------------------------------ the flagship: engine
 
 def q_cdc_engine_e2e(spark, sf_dir):
-    """The actual engine end-to-end: change stream → LakeTable via
-    epoch loop (dedup → CoW MERGE → manifest) → final table state.
-    The oracle is plain SQL LWW — proving engine == SQL semantics."""
+    """The actual engine end-to-end, BOTH drive modes in one row:
+    change stream → LakeTable via (a) the fixed-size epoch loop and
+    (b) histogram-planned row-bounded epochs — each mode's final table
+    state tagged and unioned. The oracle is plain SQL LWW twice —
+    proving engine == SQL semantics for both replay plans, and the two
+    modes equal to each other."""
     from pyspark.sql import types as T
 
     from etl_warehouse_agnostic_spark.engine import CdcEngine
@@ -855,7 +843,8 @@ def q_cdc_engine_e2e(spark, sf_dir):
     from etl_warehouse_agnostic_spark.lake.table import LakeTable
     from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
 
-    chg = _changes(spark, sf_dir)
+    chg = _changes(spark, sf_dir).localCheckpoint()  # one scan, both modes
+    n = chg.count()
     schema = T.StructType(
         [
             T.StructField("conv_id", T.StringType(), False),
@@ -867,43 +856,23 @@ def q_cdc_engine_e2e(spark, sf_dir):
     )
     root = tempfile.mkdtemp(prefix="etlwa-e2e-")
     try:
-        table = LakeTable.create(spark, os.path.join(root, "t"), schema, KEYS, num_buckets=8)
-        eng = CdcEngine(spark, table, ManifestStore(os.path.join(root, "ck")))
-        src = ChangeStreamSource(spark, df=chg)
-        eng.run(src, epoch_size=max(1000, chg.count() // 4))
-        out = table.read().select("conv_id", "turn_idx", "role", "text").localCheckpoint()
-        return out
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-
-
-def q_cdc_engine_bounded_e2e(spark, sf_dir):
-    """run_bounded end-to-end: histogram-planned row-capped epochs must
-    replay to the identical final state as plain SQL LWW."""
-    from pyspark.sql import types as T
-
-    from etl_warehouse_agnostic_spark.engine import CdcEngine
-    from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
-    from etl_warehouse_agnostic_spark.lake.table import LakeTable
-    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
-
-    chg = _changes(spark, sf_dir)
-    schema = T.StructType(
-        [
-            T.StructField("conv_id", T.StringType(), False),
-            T.StructField("turn_idx", T.IntegerType(), False),
-            T.StructField("role", T.StringType(), True),
-            T.StructField("text", T.StringType(), True),
-            T.StructField("ts", T.TimestampType(), True),
-        ]
-    )
-    root = tempfile.mkdtemp(prefix="etlwa-bnd-")
-    try:
-        table = LakeTable.create(spark, os.path.join(root, "t"), schema, KEYS, num_buckets=8)
-        eng = CdcEngine(spark, table, ManifestStore(os.path.join(root, "ck")))
-        src = ChangeStreamSource(spark, df=chg)
-        eng.run_bounded(src, max_rows_per_epoch=max(1000, chg.count() // 3), granules=256)
-        return table.read().select("conv_id", "turn_idx", "role", "text").localCheckpoint()
+        outs = []
+        for mode in ("epochs", "bounded"):
+            table = LakeTable.create(
+                spark, os.path.join(root, mode), schema, KEYS, num_buckets=8
+            )
+            eng = CdcEngine(spark, table, ManifestStore(os.path.join(root, f"ck-{mode}")))
+            src = ChangeStreamSource(spark, df=chg)
+            if mode == "epochs":
+                eng.run(src, epoch_size=max(1000, n // 4))
+            else:
+                eng.run_bounded(src, max_rows_per_epoch=max(1000, n // 3), granules=256)
+            outs.append(
+                table.read()
+                .select(F.lit(mode).alias("mode"), "conv_id", "turn_idx", "role", "text")
+                .localCheckpoint()
+            )
+        return outs[0].unionByName(outs[1])
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -911,64 +880,53 @@ def q_cdc_engine_bounded_e2e(spark, sf_dir):
 # ---------------------------------------------------------- registries
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "lww_dedup_window": q_lww_dedup_window,
-    "lww_dedup_salted": q_lww_dedup_salted,
+    # flagship engine rows first (driver evidence priority)
+    "cdc_engine_e2e": q_cdc_engine_e2e,
+    "lww_dedup_strategies": q_lww_dedup_strategies,
     "lww_dedup_nulls_last": q_lww_dedup_nulls_last,
     "cdc_final_state": q_cdc_final_state,
     "merge_upsert": q_merge_upsert,
     "dup_batch_anti_join": q_dup_batch_anti_join,
     "watermark_offsets": q_watermark_offsets,
-    "dq_checks": q_dq_checks,
-    "asof_join": q_asof_join,
-    "expectations": q_expectations,
     "incremental_slice": q_incremental_slice,
+    "dq_checks": q_dq_checks,
+    "expectations": q_expectations,
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
+    "windowed_op_counts": q_windowed_op_counts,
+    "metadata_stamping": q_metadata_stamping,
+    "completeness_ratio": q_completeness_ratio,
+    "valid_filter": q_valid_filter,
     "ordinal_numbering": q_ordinal_numbering,
     "scalar_battery": q_scalar_battery,
-    "microsoft_json_date": q_microsoft_json_date,
     "flatten_json": q_flatten_json,
+    "flatten_rules": q_flatten_rules,
+    "unwrap_value": q_unwrap_value,
+    "explode_json_items": q_explode_json_items,
+    "promote_first_element": q_promote_first_element,
     "explode_words": q_explode_words,
     "union_missing_columns": q_union_missing_columns,
-    "metadata_stamping": q_metadata_stamping,
-    "pricing_summary": q_pricing_summary,
-    "revenue_by_region": q_revenue_by_region,
-    "sessionize": q_sessionize,
     "set_ops": q_set_ops,
     "pivot_status": q_pivot_status,
     "rollup_revenue": q_rollup_revenue,
     "percentile_summary": q_percentile_summary,
     "topk_customers": q_topk_customers,
-    "completeness_ratio": q_completeness_ratio,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_region": q_revenue_by_region,
     "clean_tabular": q_clean_tabular,
-    "full_refresh": q_full_refresh,
-    "unwrap_value": q_unwrap_value,
-    "explode_json_items": q_explode_json_items,
-    "promote_first_element": q_promote_first_element,
-    "scalar_battery_2": q_scalar_battery_2,
-    "flatten_rules": q_flatten_rules,
-    "windowed_op_counts": q_windowed_op_counts,
-    "csv_roundtrip": q_csv_roundtrip,
     "sheet_grid": q_sheet_grid,
-    "valid_filter": q_valid_filter,
+    "csv_roundtrip": q_csv_roundtrip,
+    "full_refresh": q_full_refresh,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
-    "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
-    "ivf_topk": q_ivf_topk,
-    "ivf_recall": q_ivf_recall,
-    "simhash_recall": q_simhash_recall,
     "cosine_near_pairs": q_cosine_near_pairs,
-    "blocked_near_pairs_recall": q_blocked_near_pairs_recall,
-    "text_quality": q_text_quality,
-    "token_counts": q_token_counts,
-    "lang_id": q_lang_id,
-    "fingerprint": q_fingerprint,
+    "recall_gates": q_recall_gates,
+    "text_battery": q_text_battery,
     "training_pipeline": q_training_pipeline,
-    "multimodal_features": q_multimodal_features,
-    "media_resize_plan": q_media_resize_plan,
+    "media_battery": q_media_battery,
     "media_frame_sample": q_media_frame_sample,
-    "cdc_engine_e2e": q_cdc_engine_e2e,
-    "cdc_engine_bounded_e2e": q_cdc_engine_bounded_e2e,
 }
 
 
@@ -977,8 +935,7 @@ _WORDS = f"string_split({_NORM}, ' ')"
 _STOP = "['the','a','and','of','to','in','is','it','that','for']"
 
 ORACLES: dict[str, str] = {
-    "lww_dedup_window": _LWW_ORACLE,
-    "lww_dedup_salted": _LWW_ORACLE,
+    "lww_dedup_strategies": _LWW_ORACLE,
     "lww_dedup_nulls_last": f"""
         WITH en AS (
           SELECT *,
@@ -1083,13 +1040,18 @@ ORACLES: dict[str, str] = {
                CAST(day(ts) AS INT) AS d,
                CAST(hour(ts) AS INT) AS h,
                CAST(ts AS DATE) AS dt,
-               CAST(floor(value) AS BIGINT) AS value_floor
-        FROM events
-    """,
-    "microsoft_json_date": """
-        SELECT event_id,
+               CAST(floor(value) AS BIGINT) AS value_floor,
                printf('/Date(%d+0000)/', epoch_ms(ts)) AS ms_date_str,
-               make_timestamp(epoch_ms(ts) * 1000) AS parsed_ts
+               make_timestamp(epoch_ms(ts) * 1000) AS ms_parsed_ts,
+               CASE event_type WHEN 'view' THEN TRUE WHEN 'click' THEN TRUE
+                    WHEN 'purchase' THEN FALSE WHEN 'signup' THEN FALSE
+                    ELSE NULL END AS b,
+               CASE WHEN event_id % 3 = 0 THEN CAST(CAST('12.5' AS DECIMAL(18,2)) AS VARCHAR)
+                    WHEN event_id % 3 = 1 THEN NULL
+                    ELSE CAST(CAST('-7' AS DECIMAL(18,2)) AS VARCHAR) END AS dec_s,
+               CASE WHEN event_id % 4 IN (0, 2) THEN date_trunc('second', ts)
+                    WHEN event_id % 4 = 1 THEN make_timestamp(epoch_ms(ts) * 1000)
+                    ELSE NULL END AS be_parsed_ts
         FROM events
     """,
     "flatten_json": """
@@ -1237,19 +1199,6 @@ ORACLES: dict[str, str] = {
                CASE WHEN p_partkey % 10 = 0 THEN NULL ELSE p_brand END AS primary_brand
         FROM part
     """,
-    "scalar_battery_2": """
-        SELECT event_id,
-               CASE event_type WHEN 'view' THEN TRUE WHEN 'click' THEN TRUE
-                    WHEN 'purchase' THEN FALSE WHEN 'signup' THEN FALSE
-                    ELSE NULL END AS b,
-               CASE WHEN event_id % 3 = 0 THEN CAST(CAST('12.5' AS DECIMAL(18,2)) AS VARCHAR)
-                    WHEN event_id % 3 = 1 THEN NULL
-                    ELSE CAST(CAST('-7' AS DECIMAL(18,2)) AS VARCHAR) END AS dec_s,
-               CASE WHEN event_id % 4 IN (0, 2) THEN date_trunc('second', ts)
-                    WHEN event_id % 4 = 1 THEN make_timestamp(epoch_ms(ts) * 1000)
-                    ELSE NULL END AS parsed_ts
-        FROM events
-    """,
     "flatten_rules": """
         SELECT o_orderkey,
                o_totalprice AS total_amount,
@@ -1341,7 +1290,7 @@ ORACLES: dict[str, str] = {
           WHERE q.vec_id < 5)
         WHERE rank <= 3
     """,
-    "text_quality": f"""
+    "text_battery": f"""
         SELECT doc_id,
                length(text) AS n_chars_m,
                len({_WORDS}) AS n_words,
@@ -1350,23 +1299,15 @@ ORACLES: dict[str, str] = {
                round(len(list_filter({_WORDS}, x -> list_contains({_STOP}, x))) / greatest(len({_WORDS}), 1), 6) AS stopword_ratio,
                (len({_WORDS}) >= 5
                 AND round(length(replace({_NORM}, ' ', '')) / greatest(len({_WORDS}), 1), 6) BETWEEN 2 AND 12
-                AND round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / greatest(length(text), 1), 6) <= 0.2) AS keep
-        FROM documents
-    """,
-    "token_counts": f"""
-        SELECT doc_id,
+                AND round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / greatest(length(text), 1), 6) <= 0.2) AS keep,
                len({_WORDS}) AS ws_tokens,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
-        FROM documents
-    """,
-    "lang_id": f"""
-        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
                round(len(list_filter({_WORDS}, x -> list_contains({_STOP}, x))) / greatest(len({_WORDS}), 1), 6) AS en_score,
                CASE WHEN round(len(list_filter({_WORDS}, x -> list_contains({_STOP}, x))) / greatest(len({_WORDS}), 1), 6) >= 0.05
-                    THEN 'en' ELSE 'und' END AS lang_pred
+                    THEN 'en' ELSE 'und' END AS lang_pred,
+               md5({_NORM}) AS fp_md5
         FROM documents
     """,
-    "fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp_md5 FROM documents",
     "training_pipeline": f"""
         WITH scored AS (
           SELECT doc_id, text,
@@ -1386,20 +1327,14 @@ ORACLES: dict[str, str] = {
         SELECT lang_pred, count(*) AS n_docs, min(doc_id) AS first_doc
         FROM dedup GROUP BY lang_pred
     """,
-    "multimodal_features": """
-        SELECT doc_id AS media_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-               md5(text) AS payload_md5,
-               FALSE AS decoded
-        FROM documents
-    """,
-    "cdc_engine_e2e": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
-    "cdc_engine_bounded_e2e": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
     # mirror plan_resize's double arithmetic EXACTLY (least/greatest +
     # floor of the scaled product) — simplifying to min(w, 100) risks a
     # one-off at floor(w * (100.0/w)) boundaries.
-    "media_resize_plan": """
+    "media_battery": """
         SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               md5(text) AS payload_md5,
+               FALSE AS decoded,
                CAST(length(text) AS INT) AS width,
                1 AS height,
                greatest(1, CAST(floor(CAST(length(text) AS DOUBLE)
@@ -1409,11 +1344,16 @@ ORACLES: dict[str, str] = {
                greatest(CAST(length(text) AS DOUBLE), 1.0) > 100 AS needs_resize
         FROM documents
     """,
+    "cdc_engine_e2e": f"""
+        SELECT 'epochs' AS mode, conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'
+        UNION ALL
+        SELECT 'bounded' AS mode, conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'
+    """,
     "media_frame_sample": """
-        SELECT media_id, duration_ms, CAST(unnest(generate_series(0, greatest(duration_ms - 1, 0), 7)) AS INT) AS frame_offset_ms
+        SELECT media_id, duration_ms, CAST(unnest(generate_series(0, greatest(duration_ms - 1, 0), 29)) AS INT) AS frame_offset_ms
         FROM (
           SELECT event_id AS media_id, CAST(floor(value * 100) AS INT) AS duration_ms
-          FROM events WHERE event_id <= 3000)
+          FROM events WHERE event_id <= 1000)
         WHERE duration_ms IS NOT NULL AND duration_ms > 0
     """,
     # simhash_pairs / ivf_topk: intentionally no oracle (bit-twiddling /
@@ -1439,29 +1379,31 @@ _COSINE_PAIRS_SQL = """
     WHERE sim >= 0.95
 """
 ORACLES["cosine_near_pairs"] = _COSINE_PAIRS_SQL
-ORACLES["blocked_near_pairs_recall"] = (
-    "SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_080 "
-    f"FROM ({_COSINE_PAIRS_SQL})"
-)
 
-ORACLES["ivf_recall"] = (
-    "SELECT CAST(count(*) AS BIGINT) AS n_pairs, TRUE AS recall_ge_080 "
-    f"FROM ({ORACLES['cosine_topk']})"
-)
-
-ORACLES["simhash_recall"] = f"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, s AS shingle FROM (
-        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS s
-        FROM (SELECT doc_id, {_WORDS} AS w FROM documents),
-             LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i))
-      WHERE length(s) > 0),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
-      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      GROUP BY x.doc_id, y.doc_id)
-    SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_080
-    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+# One 3-row battery: each gate's n_true re-derived with exact SQL, the
+# recall floor asserted as a literal TRUE (the driver hash fails iff an
+# approximate index loses recall on the Spark side).
+ORACLES["recall_gates"] = f"""
+    SELECT 'ivf_topk' AS gate, CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_080
+    FROM ({ORACLES['cosine_topk']})
+    UNION ALL
+    SELECT 'simhash_pairs' AS gate, CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_080
+    FROM (
+      WITH sh AS (
+        SELECT DISTINCT doc_id, s AS shingle FROM (
+          SELECT doc_id, array_to_string(w[i:i+1], ' ') AS s
+          FROM (SELECT doc_id, {_WORDS} AS w FROM documents),
+               LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i))
+        WHERE length(s) > 0),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+        FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT a, b
+      FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5)
+    UNION ALL
+    SELECT 'blocked_near_pairs' AS gate, CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ge_080
+    FROM ({_COSINE_PAIRS_SQL})
 """

@@ -106,6 +106,37 @@ def language_id(df: DataFrame, id_col: str, text_col: str, threshold: float = 0.
     )
 
 
+def text_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The whole text-analysis battery in ONE projection: quality
+    features + keep flag, token counts (whitespace + BPE-ish),
+    language-ID, and the md5 content fingerprint. One narrow pass — at
+    corpus scale this beats running the per-facet operators as separate
+    jobs (N scans → 1), and shared subexpressions (normalized text,
+    word split) are computed once per row."""
+    t = F.col(text_col)
+    n_words = token_count_whitespace(t)
+    avg_wl = F.round(
+        F.length(F.regexp_replace(normalize_text(t), " ", "")) / F.greatest(n_words, F.lit(1)), 6
+    )
+    pr = punct_ratio(t)
+    sr = stopword_ratio(t)
+    keep = (n_words >= 5) & (avg_wl >= 2) & (avg_wl <= 12) & (pr <= 0.2)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_m"),
+        n_words.alias("n_words"),
+        avg_wl.alias("avg_word_len"),
+        pr.alias("punct_ratio"),
+        sr.alias("stopword_ratio"),
+        keep.alias("keep"),
+        n_words.alias("ws_tokens"),
+        token_count_bpe_ish(t).alias("bpe_tokens"),
+        sr.alias("en_score"),
+        F.when(sr >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+        F.md5(normalize_text(t)).alias("fp_md5"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stable content fingerprint of the normalized text (md5 — portable
     across engines) plus a 64-bit rolling-style hash (xxhash64)."""

@@ -22,14 +22,12 @@ from etl_warehouse_agnostic_spark.harness import QUERIES
 SF = "/root/testdata/sf0.001"
 
 # Queries that build real tables / run the engine at construction time.
-SKIP = {"cdc_engine_e2e", "cdc_engine_bounded_e2e", "full_refresh", "csv_roundtrip"}
+SKIP = {"cdc_engine_e2e", "full_refresh", "csv_roundtrip"}
 
-# Queries whose FINAL result is a global ≤1-row (or top-k) aggregate —
-# one SinglePartition exchange to finish it is the correct plan.
-GLOBAL_FINAL_OK = {
-    "ivf_recall", "simhash_recall", "blocked_near_pairs_recall",
-    "expectations", "topk_customers",
-}
+# Queries whose FINAL result is a global ≤3-row (or top-k) aggregate —
+# one SinglePartition exchange per gate to finish it is the correct
+# plan (recall_gates unions three 1-row gates → 3).
+GLOBAL_FINAL_OK = {"recall_gates": 3, "expectations": 1, "topk_customers": 1}
 
 
 @pytest.mark.parametrize("name", [q for q in QUERIES if q not in SKIP])
@@ -38,7 +36,7 @@ def test_plan_has_no_scale_killers(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
     single = plan.count("SinglePartition")
-    limit = 1 if name in GLOBAL_FINAL_OK else 0
+    limit = GLOBAL_FINAL_OK.get(name, 0)
     assert single <= limit, (
         f"{name}: {single} SinglePartition exchange(s) (allowed {limit}) — "
         "global window/orderBy collapsing the data onto one task?"

@@ -97,6 +97,31 @@ def test_fingerprint_normalization(spark, docs):
     assert fp[1] == fp[2] == fp[5] and fp[1] != fp[3]
 
 
+def test_text_features_matches_per_facet_ops(spark, docs):
+    """text_features (the one-pass battery) must agree column-for-column
+    with the per-facet operators it fuses."""
+    battery = {r.doc_id: r.asDict() for r in text.text_features(docs, "doc_id", "text").collect()}
+    q = {r.doc_id: r.asDict() for r in text.quality_score(docs, "doc_id", "text").collect()}
+    lang = {r.doc_id: r.asDict() for r in text.language_id(docs, "doc_id", "text").collect()}
+    fp = {r.doc_id: r.fp_md5 for r in text.fingerprint(docs, "doc_id", "text").collect()}
+    toks = {
+        r.doc_id: r.asDict()
+        for r in docs.select(
+            "doc_id",
+            text.token_count_whitespace("text").alias("ws_tokens"),
+            text.token_count_bpe_ish("text").alias("bpe_tokens"),
+        ).collect()
+    }
+    for d, row in battery.items():
+        for c in ("n_chars_m", "n_words", "avg_word_len", "punct_ratio", "stopword_ratio", "keep"):
+            assert row[c] == q[d][c], (d, c)
+        for c in ("en_score", "lang_pred"):
+            assert row[c] == lang[d][c], (d, c)
+        for c in ("ws_tokens", "bpe_tokens"):
+            assert row[c] == toks[d][c], (d, c)
+        assert row["fp_md5"] == fp[d]
+
+
 def test_multimodal_plumbing(spark, docs):
     media = multimodal.to_media_table(docs, "doc_id", "text")
     assert [f.name for f in media.schema.fields] == ["media_id", "payload", "media_type", "meta"]
