@@ -829,6 +829,51 @@ def q_media_frame_sample(spark, sf_dir):
 
 # ------------------------------------------------ the flagship: engine
 
+def q_warehouse_parity(spark, sf_dir):
+    """The warehouse-agnostic axis made real: the SAME deduped change
+    stream applied through the config-switched SECOND backend (embedded
+    SQL warehouse, ``lake/backends.DuckBackend`` — the reference's
+    Postgres/ClickHouse stand-in, config/warehouse_config.py:25-66) in
+    three LSN-range epochs with a deliberate replay of epoch 2 (must
+    no-op). Final state must equal plain SQL LWW — i.e. exactly what
+    LakeTable reaches on the same stream (cdc_engine_e2e's oracle)."""
+    from pyspark.sql import types as T
+
+    from etl_warehouse_agnostic_spark.lake.backends import make_warehouse
+
+    chg = _changes(spark, sf_dir).localCheckpoint()
+    n = chg.count()
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etlwa-wh-")
+    try:
+        wh = make_warehouse(
+            spark, {"type": "duckdb", "path": os.path.join(root, "wh.duckdb")},
+            schema, KEYS,
+        )
+        bounds = [0, n // 3, 2 * n // 3, n + 1]
+        for i in range(3):
+            lo, hi = bounds[i], bounds[i + 1]
+            epoch = chg.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+            deduped = lww_dedup_window(epoch, KEYS, ORDER, num_salts=4)
+            ups, dels = split_ops(deduped)
+            wh.merge(ups, delete_keys=dels, epoch_id=i + 1)
+        # replay epoch 2 verbatim — exactly-once must make it a no-op
+        lo, hi = bounds[1], bounds[2]
+        replay = chg.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        ups, dels = split_ops(lww_dedup_window(replay, KEYS, ORDER, num_salts=4))
+        assert wh.merge(ups, delete_keys=dels, epoch_id=2).skipped
+        return wh.read().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_cdc_engine_e2e(spark, sf_dir):
     """The actual engine end-to-end, BOTH drive modes in one row:
     change stream → LakeTable via (a) the fixed-size epoch loop and
@@ -882,6 +927,7 @@ def q_cdc_engine_e2e(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # flagship engine rows first (driver evidence priority)
     "cdc_engine_e2e": q_cdc_engine_e2e,
+    "warehouse_parity": q_warehouse_parity,
     "lww_dedup_strategies": q_lww_dedup_strategies,
     "lww_dedup_nulls_last": q_lww_dedup_nulls_last,
     "cdc_final_state": q_cdc_final_state,
@@ -1349,6 +1395,7 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'bounded' AS mode, conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'
     """,
+    "warehouse_parity": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
     "media_frame_sample": """
         SELECT media_id, duration_ms, CAST(unnest(generate_series(0, greatest(duration_ms - 1, 0), 29)) AS INT) AS frame_offset_ms
         FROM (

@@ -1,0 +1,73 @@
+"""Warehouse-agnostic backends: the same change stream applied through
+the config-switched LakeTable and embedded-SQL backends must converge
+to the identical final state, with exactly-once replay on both."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_warehouse_agnostic_spark.lake.backends import DuckBackend, LakeBackend, make_warehouse
+from etl_warehouse_agnostic_spark.operators.dedup import lww_dedup_window, split_ops
+from etl_warehouse_agnostic_spark.schemas import KEY_COLS, TRANSCRIPTS_SCHEMA_V1
+from etl_warehouse_agnostic_spark.sources.generator import generate_changes
+
+
+def _final_state(df):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.role, r.text)
+        for r in df.select("conv_id", "turn_idx", "role", "text").collect()
+    )
+
+
+def _apply_epochs(wh, chg, n_epochs=3):
+    n = chg.agg(F.max("lsn")).first()[0] + 1
+    bounds = [i * n // n_epochs for i in range(n_epochs)] + [n]
+    for i in range(n_epochs):
+        epoch = chg.where((F.col("lsn") >= bounds[i]) & (F.col("lsn") < bounds[i + 1]))
+        ups, dels = split_ops(lww_dedup_window(epoch, KEY_COLS, ["ts", "lsn"], num_salts=4))
+        wh.merge(ups, delete_keys=dels, epoch_id=i + 1)
+
+
+def test_backends_converge_to_identical_state(spark, tmpdir_path):
+    chg = generate_changes(spark, 4000, n_convs=40, turns_per_conv=8, seed=11).localCheckpoint()
+    schema = TRANSCRIPTS_SCHEMA_V1
+
+    lake = make_warehouse(
+        spark, {"type": "lake", "path": os.path.join(tmpdir_path, "lake"), "num_buckets": 4},
+        schema, KEY_COLS,
+    )
+    duck = make_warehouse(
+        spark, {"type": "duckdb", "path": os.path.join(tmpdir_path, "wh.duckdb")},
+        schema, KEY_COLS,
+    )
+    assert isinstance(lake, LakeBackend) and isinstance(duck, DuckBackend)
+
+    _apply_epochs(lake, chg)
+    _apply_epochs(duck, chg)
+
+    a = _final_state(lake.read())
+    b = _final_state(duck.read())
+    assert a == b and len(a) > 0
+    assert lake.committed_epochs() == duck.committed_epochs() == [1, 2, 3]
+
+
+def test_duck_backend_replay_is_noop_and_transactional(spark, tmpdir_path):
+    chg = generate_changes(spark, 2000, n_convs=20, turns_per_conv=6, seed=7).localCheckpoint()
+    duck = DuckBackend.create(
+        spark, os.path.join(tmpdir_path, "wh.duckdb"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    _apply_epochs(duck, chg, n_epochs=2)
+    before = _final_state(duck.read())
+
+    # replay epoch 1 verbatim: must be a skipped no-op
+    n = chg.agg(F.max("lsn")).first()[0] + 1
+    epoch1 = chg.where(F.col("lsn") < n // 2)
+    ups, dels = split_ops(lww_dedup_window(epoch1, KEY_COLS, ["ts", "lsn"], num_salts=4))
+    res = duck.merge(ups, delete_keys=dels, epoch_id=1)
+    assert res.skipped
+    assert _final_state(duck.read()) == before
+
+    # overwrite path with epoch ledger intact
+    duck.overwrite(duck.read(), epoch_id=99)
+    assert _final_state(duck.read()) == before
+    assert 99 in duck.committed_epochs()
