@@ -874,6 +874,47 @@ def q_warehouse_parity(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_time_partition_scan(spark, sf_dir):
+    """Time-dimension pruning made observable: the change stream lands
+    in a ``bucket(4, conv_id) × days(ts)`` LakeTable, then a 3-day
+    bounded read (metadata-pruned to that window's files — asserted)
+    aggregates per-day op counts. Oracle = the same date-bounded
+    aggregate in SQL."""
+    from pyspark.sql import types as T
+
+    from etl_warehouse_agnostic_spark.lake.table import LakeTable
+
+    chg = _changes(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    lo, hi = "2024-01-05", "2024-01-07"
+    root = tempfile.mkdtemp(prefix="etlwa-tp-")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(root, "t"), schema, ["lsn"],
+            num_buckets=4, partition_spec={"col": "ts", "transform": "day"},
+        )
+        t.overwrite(chg.select("lsn", "op", "conv_id", "turn_idx", "ts"))
+        window = t.read(day_range=(lo, hi))
+        opened = window.inputFiles()
+        assert opened and all(
+            lo <= f.split("_pd=")[1][:10] <= hi for f in opened
+        ), "day-bounded read must open only the window's files"
+        out = window.groupBy(F.to_date("ts").alias("day"), "op").agg(
+            F.count(F.lit(1)).alias("n"), F.max("lsn").alias("max_lsn")
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_cdc_engine_e2e(spark, sf_dir):
     """The actual engine end-to-end, BOTH drive modes in one row:
     change stream → LakeTable via (a) the fixed-size epoch loop and
@@ -928,6 +969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # flagship engine rows first (driver evidence priority)
     "cdc_engine_e2e": q_cdc_engine_e2e,
     "warehouse_parity": q_warehouse_parity,
+    "time_partition_scan": q_time_partition_scan,
     "lww_dedup_strategies": q_lww_dedup_strategies,
     "lww_dedup_nulls_last": q_lww_dedup_nulls_last,
     "cdc_final_state": q_cdc_final_state,
@@ -1396,6 +1438,12 @@ ORACLES: dict[str, str] = {
         SELECT 'bounded' AS mode, conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'
     """,
     "warehouse_parity": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
+    "time_partition_scan": f"""
+        SELECT CAST(ts AS DATE) AS day, op, count(*) AS n, max(lsn) AS max_lsn
+        FROM ({CHG_SQL})
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+        GROUP BY 1, 2
+    """,
     "media_frame_sample": """
         SELECT media_id, duration_ms, CAST(unnest(generate_series(0, greatest(duration_ms - 1, 0), 29)) AS INT) AS frame_offset_ms
         FROM (

@@ -50,6 +50,17 @@ from etl_warehouse_agnostic_spark.functions.scalars import bucket_of
 
 _BUCKET = "_bucket"  # physical layout column kept in data files
 _PB = "_pb"  # throwaway copy used only for partitionBy at write time
+_PD = "_pd"  # time-partition dir (days(ts)/months(ts) transform value)
+
+_GRANULE_FMT = {"day": "yyyy-MM-dd", "month": "yyyy-MM"}
+
+
+def _file_day(relpath: str) -> str | None:
+    """Time-partition value encoded in a data-file path, or None."""
+    for seg in relpath.split(os.sep):
+        if seg.startswith(f"{_PD}="):
+            return seg.split("=", 1)[1]
+    return None
 
 
 class CommitConflict(RuntimeError):
@@ -115,7 +126,22 @@ class LakeTable:
         schema: T.StructType,
         key_cols: list[str],
         num_buckets: int = 64,
+        partition_spec: dict | None = None,
     ) -> "LakeTable":
+        """``partition_spec={"col": "ts", "transform": "day"|"month"}``
+        adds a time dimension to the layout (Iceberg multi-transform
+        spec ``bucket(N, key) × days(ts)``): each bucket's files are
+        further split by the transform value, and a day-bounded
+        ``read(day_range=...)`` opens ONLY that window's files instead
+        of scanning every bucket end-to-end. Reference analog: bronze
+        partitioned by extraction date
+        (extractors/repsly/extractor.py:643-645) and silver by
+        ``toYYYYMM`` (dbt/models/curated/repsly/client_notes.sql:6)."""
+        if partition_spec is not None:
+            if partition_spec.get("transform") not in _GRANULE_FMT:
+                raise ValueError("partition_spec.transform must be 'day' or 'month'")
+            if partition_spec.get("col") not in schema.names:
+                raise ValueError("partition_spec.col must be a table column")
         t = cls(spark, path)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -125,6 +151,7 @@ class LakeTable:
             "schema": schema.jsonValue(),
             "key_cols": key_cols,
             "num_buckets": num_buckets,
+            "partition_spec": partition_spec,
             "files": {},  # bucket(str) -> [relpath, ...]
             "committed_epochs": [],
             "summary": {"operation": "create"},
@@ -167,6 +194,10 @@ class LakeTable:
     def num_buckets(self) -> int:
         return int(self.snapshot()["num_buckets"])
 
+    @property
+    def partition_spec(self) -> dict | None:
+        return self.snapshot().get("partition_spec")
+
     def committed_epochs(self) -> list[int]:
         return list(self.snapshot().get("committed_epochs", []))
 
@@ -188,12 +219,22 @@ class LakeTable:
 
     # ---------------- read ----------------
 
-    def _read_files(self, snap: dict, buckets: list[int] | None = None) -> DataFrame:
+    def _read_files(
+        self,
+        snap: dict,
+        buckets: list[int] | None = None,
+        day_range: tuple[str, str] | None = None,
+    ) -> DataFrame:
         schema = T.StructType.fromJson(snap["schema"]).add(_BUCKET, T.IntegerType())
         files = []
         for b, paths in snap["files"].items():
             if buckets is None or int(b) in buckets:
-                files.extend(os.path.join(self.path, p) for p in paths)
+                for p in paths:
+                    if day_range is not None:
+                        d = _file_day(p)
+                        if d is not None and not (day_range[0] <= d <= day_range[1]):
+                            continue
+                    files.append(os.path.join(self.path, p))
         if not files:
             return self.spark.createDataFrame([], schema)
         # Explicit file list = manual partition pruning from snapshot
@@ -201,11 +242,19 @@ class LakeTable:
         # because parquet fills columns absent from a file with NULL.
         return self.spark.read.schema(schema).parquet(*files)
 
-    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        day_range: tuple[str, str] | None = None,
+    ) -> DataFrame:
         """Current (or time-travel) table state; optionally pruned to a
-        bucket subset."""
+        bucket subset and/or (with a time partition_spec) to an
+        INCLUSIVE transform-value range, e.g.
+        ``day_range=("2024-01-02", "2024-01-03")`` — a day-bounded scan
+        opens only that window's files, never the whole table."""
         snap = self.snapshot(version)
-        return self._read_files(snap, buckets).drop(_BUCKET)
+        return self._read_files(snap, buckets, day_range).drop(_BUCKET)
 
     # ---------------- write paths ----------------
 
@@ -223,15 +272,24 @@ class LakeTable:
         metrics = {"rows": F.count(F.lit(1)).alias("rows")}
         for k, v in (extra_metrics or {}).items():
             metrics[k] = v.alias(k)
+        spec = self.partition_spec
+        staged = df.withColumn(_PB, F.col(_BUCKET))
+        part_cols = [_PB]
+        if spec and spec["col"] in df.columns:
+            # Time dimension: the transform value becomes a directory
+            # level under the bucket; pruning reads it back from paths.
+            staged = staged.withColumn(
+                _PD, F.date_format(F.col(spec["col"]), _GRANULE_FMT[spec["transform"]])
+            )
+            part_cols.append(_PD)
         writer = (
-            df.withColumn(_PB, F.col(_BUCKET))
-            .observe(obs, *metrics.values())
+            staged.observe(obs, *metrics.values())
             .repartition(F.col(_BUCKET))
-            # _PB leads the sort so FileFormatWriter's required ordering
-            # (by partition cols) is already satisfied and the key sort
+            # partition cols lead the sort so FileFormatWriter's
+            # required ordering is already satisfied and the key sort
             # survives into the files (min/max stats friendly).
-            .sortWithinPartitions(_PB, *self.key_cols)
-            .write.partitionBy(_PB)
+            .sortWithinPartitions(*part_cols, *self.key_cols)
+            .write.partitionBy(*part_cols)
             .mode("overwrite")
         )
         if self.max_records_per_file:
@@ -250,11 +308,14 @@ class LakeTable:
             if not sub.startswith(f"{_PB}="):
                 continue
             b = sub.split("=", 1)[1]
-            for fn in os.listdir(os.path.join(out_dir, sub)):
-                if fn.endswith(".parquet"):
-                    full = os.path.join(out_dir, sub, fn)
-                    nbytes += os.path.getsize(full)
-                    files.setdefault(b, []).append(os.path.relpath(full, self.path))
+            # walk: with a time dimension, parquet files live one level
+            # deeper (_pb=N/_pd=DAY/part-*.parquet)
+            for root, _, fns in os.walk(os.path.join(out_dir, sub)):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        full = os.path.join(root, fn)
+                        nbytes += os.path.getsize(full)
+                        files.setdefault(b, []).append(os.path.relpath(full, self.path))
         if observed.get("rows") is None:
             import pyarrow.parquet as pq
 
@@ -281,8 +342,8 @@ class LakeTable:
         files = []
         for sub in os.listdir(dir_path):
             if sub.startswith(f"{_PB}="):
-                d = os.path.join(dir_path, sub)
-                files.extend(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet"))
+                for root, _, fns in os.walk(os.path.join(dir_path, sub)):
+                    files.extend(os.path.join(root, f) for f in fns if f.endswith(".parquet"))
         full = schema.add(_BUCKET, T.IntegerType()) if _BUCKET not in schema.names else schema
         if not files:
             return self.spark.createDataFrame([], full)
@@ -307,6 +368,7 @@ class LakeTable:
             "schema": parent["schema"],
             "key_cols": parent["key_cols"],
             "num_buckets": parent["num_buckets"],
+            "partition_spec": parent.get("partition_spec"),
             "files": dict(parent["files"]),
             "committed_epochs": list(parent.get("committed_epochs", [])),
             "summary": {"operation": operation},

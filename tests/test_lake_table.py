@@ -117,3 +117,50 @@ def test_atomic_commit_conflict(tmpdir_path):
     _atomic_write_json({"a": 1}, p)
     with pytest.raises(CommitConflict):
         _atomic_write_json({"a": 2}, p)
+
+
+def test_time_partition_pruning(spark, tmpdir_path):
+    """bucket(N, conv_id) × days(ts): a 1-day read must open ONLY that
+    day's files, and merges must keep the layout day-aligned."""
+    import datetime
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS,
+        num_buckets=4, partition_spec={"col": "ts", "transform": "day"},
+    )
+    d = datetime.datetime
+    rows = [
+        (f"conv_{i:08d}", k, "user", f"t{i}.{k}", d(2024, 1, 1 + (i % 3), 12, 0))
+        for i in range(12) for k in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    t.overwrite(df)
+
+    # every referenced file path carries its day; a 1-day read opens
+    # only that day's files
+    snap = t.snapshot()
+    all_paths = [p for ps in snap["files"].values() for p in ps]
+    assert all("_pd=" in p for p in all_paths)
+    one_day = t.read(day_range=("2024-01-02", "2024-01-02"))
+    opened = one_day.inputFiles()
+    assert opened and all("_pd=2024-01-02" in f for f in opened)
+    assert one_day.count() == sum(1 for r in rows if r[4].day == 2)
+    # inclusive range spanning two days
+    two_days = t.read(day_range=("2024-01-01", "2024-01-02"))
+    assert two_days.count() == sum(1 for r in rows if r[4].day in (1, 2))
+
+    # a merge rewrites affected buckets but keeps day alignment
+    ups = spark.createDataFrame(
+        [("conv_00000000", 0, "user", "UPDATED", d(2024, 1, 5, 9, 0))],
+        "conv_id string, turn_idx int, role string, text string, ts timestamp",
+    )
+    t.merge(ups, epoch_id=1)
+    snap2 = t.snapshot()
+    assert all("_pd=" in p for ps in snap2["files"].values() for p in ps)
+    day5 = t.read(day_range=("2024-01-05", "2024-01-05"))
+    assert [r.text for r in day5.collect()] == ["UPDATED"]
+    assert all("_pd=2024-01-05" in f for f in day5.inputFiles())
+    # full read still complete
+    assert t.read().count() == len(rows)
