@@ -89,23 +89,38 @@ def cosine_near_pairs(
     )
 
 
-def blocked_near_pairs(
+_SRP_MAX_BITS = 6
+
+
+def _srp_bit(vec_col: str, i: int):
+    """Signed-random-projection bit i: sign of the dot product with a
+    deterministic Rademacher (±1) hyperplane derived per (bit, element
+    index) from xxhash64 — JVM-side, no Python, no stored planes."""
+    signed = F.transform(
+        F.col(vec_col),
+        lambda x, j: x
+        * F.when(
+            F.pmod(F.xxhash64(F.concat_ws("_", F.lit(f"srp{i}"), j.cast("string"))), 2) == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    dot = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+    return (dot > 0).cast("long")
+
+
+def blocked_assignment(
     corpus: DataFrame,
-    threshold: float,
     num_centroids: int = 8,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int = 4096,
+    max_cell_size: int | None = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, sub-quadratic: each vector is
-    multi-assigned to its ``nprobe`` nearest k-means cells; candidate
-    pairs are generated ONLY within a cell (equi-join on centroid_id),
-    then verified exactly. With balanced cells the join cost drops from
-    n² to ~nprobe²·n²/k — the IVF analog of MinHash banding, and the
-    same recall/probe tradeoff (near-dup pairs are cosine-close, so
-    they land in a common probed cell with high probability).
-    Output (a, b, sim) with a < b, deduplicated across cells."""
+    """Multi-probe IVF assignment with the cell-size guard applied:
+    (id, vec, centroid_id, _blk) where ``_blk`` sub-splits any cell
+    whose membership exceeds ``max_cell_size`` via SRP bits. Exposed so
+    tests (and capacity planners) can audit block sizes directly."""
     cents = kmeans_centroids(corpus, id_col, vec_col, k=num_centroids, sample_size=sample_size)
     c = cents.select("centroid_id", F.col(vec_col).alias("_cent"))
     csim = F.round(cosine(F.col(vec_col), F.col("_cent")), 6)
@@ -116,15 +131,71 @@ def blocked_near_pairs(
         .where(F.col("_rn") <= nprobe)
         .select(id_col, vec_col, "centroid_id")
     )
+    if max_cell_size is None:
+        return assigned.select(id_col, vec_col, "centroid_id", F.lit(0).cast("long").alias("_blk"))
+    # tiny census (≤ num_centroids rows) → per-cell split depth
+    sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("_cn"))
+    n_bits = F.least(
+        F.lit(_SRP_MAX_BITS),
+        F.greatest(
+            F.lit(0),
+            F.ceil(F.log2(F.col("_cn") / F.lit(float(max_cell_size)))).cast("int"),
+        ),
+    )
+    code = F.lit(0).cast("long")
+    for i in range(_SRP_MAX_BITS):
+        code = code + F.when(
+            F.lit(i) < n_bits, F.shiftleft(_srp_bit(vec_col, i), i)
+        ).otherwise(F.lit(0))
+    return (
+        assigned.join(F.broadcast(sizes), "centroid_id")
+        .select(id_col, vec_col, "centroid_id", code.alias("_blk"))
+    )
+
+
+def blocked_near_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    max_cell_size: int | None = 100_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, sub-quadratic: each vector is
+    multi-assigned to its ``nprobe`` nearest k-means cells; candidate
+    pairs are generated ONLY within a cell (equi-join on centroid_id),
+    then verified exactly. With balanced cells the join cost drops from
+    n² to ~nprobe²·n²/k — the IVF analog of MinHash banding, and the
+    same recall/probe tradeoff (near-dup pairs are cosine-close, so
+    they land in a common probed cell with high probability).
+
+    **Cell-size guard**: a degenerate corpus can dump most vectors into
+    one k-means cell, degrading the within-cell join toward n². Cells
+    whose multi-probe membership exceeds ``max_cell_size`` are re-split
+    into ~size/max sub-blocks by signed-random-projection bits (LSH
+    within the cell): each extra bit halves the block and keeps a
+    cosine-θ pair together with probability 1 − θ/π per bit (≈0.98 per
+    bit at 0.95 cosine), so the worst-case join cost is bounded by
+    ~max_cell_size² per block instead of n². The split census is one
+    ≤ num_centroids-row aggregate broadcast back — no extra data pass.
+    Output (a, b, sim) with a < b, deduplicated across blocks."""
+    assigned = blocked_assignment(
+        corpus, num_centroids=num_centroids, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, sample_size=sample_size, max_cell_size=max_cell_size,
+    )
     left = assigned.select(
-        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("_va"), "centroid_id"
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("_va"),
+        "centroid_id", "_blk",
     )
     right = assigned.select(
-        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("_vb"), "centroid_id"
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("_vb"),
+        "centroid_id", "_blk",
     )
     sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
     return (
-        left.join(right, "centroid_id")
+        left.join(right, ["centroid_id", "_blk"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b", sim.alias("sim"))
         .where(F.col("sim") >= threshold)

@@ -169,3 +169,58 @@ def test_cosine_near_pairs_blocked_matches_exact_on_planted_dups(spark):
     assert blocked <= exact  # blocking only prunes, never invents
     planted_found = len({(i, 100 + i) for i in range(5)} & blocked)
     assert planted_found >= 4  # near-identical vectors share their cell
+
+
+def test_blocked_near_pairs_cell_size_guard_on_skewed_corpus(spark):
+    """A corpus where ~85% of vectors land in one k-means cell must be
+    re-split by the SRP guard: no block may stay near the skewed-cell
+    size (bounding the within-block join), and planted near-dup recall
+    must still clear the 0.8 floor."""
+    import random
+
+    from etl_warehouse_agnostic_spark.operators.similarity import (
+        blocked_assignment,
+        blocked_near_pairs,
+        cosine_near_pairs,
+    )
+
+    rnd = random.Random(13)
+    dim = 8
+    rows = []
+    # 850 vectors tightly clustered around one direction (one hot cell)
+    for i in range(850):
+        rows.append((i, [1.0 + rnd.uniform(-0.05, 0.05) for _ in range(dim)]))
+    # 150 spread-out vectors
+    for i in range(850, 1000):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(dim)]))
+    # plant 10 near-dup pairs inside the hot cluster
+    for i in range(10):
+        base = rows[i][1]
+        rows.append((100000 + i, [x * 1.0001 + 0.001 for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    max_cell = 100
+    assigned = blocked_assignment(
+        emb, num_centroids=8, nprobe=2, max_cell_size=max_cell
+    )
+    from pyspark.sql import functions as F
+
+    census = assigned.groupBy("centroid_id", "_blk").agg(F.count(F.lit(1)).alias("n"))
+    sizes = [r["n"] for r in census.collect()]
+    # skewed cell (~860+ members) must have been split: SRP halving is
+    # probabilistic, so assert a loose but meaningful bound
+    assert max(sizes) < 450, f"cell-size guard did not split: max block {max(sizes)}"
+    assert sum(sizes) >= 2000  # nprobe=2 multi-assignment intact
+
+    exact = {(r["a"], r["b"]) for r in cosine_near_pairs(emb, threshold=0.99).collect()}
+    planted = {(i, 100000 + i) for i in range(10)}
+    assert planted <= exact
+    blocked = {
+        (r["a"], r["b"])
+        for r in blocked_near_pairs(
+            emb, threshold=0.99, num_centroids=8, nprobe=2, max_cell_size=max_cell
+        ).collect()
+    }
+    assert blocked <= exact
+    recall = len(planted & blocked) / len(planted)
+    assert recall >= 0.8, f"planted recall {recall} under guard"
