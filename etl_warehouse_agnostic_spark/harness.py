@@ -874,6 +874,55 @@ def q_warehouse_parity(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_multi_source_converge(spark, sf_dir):
+    """T7 complete: the change stream split into two disjoint sources
+    (by conv-id hash), orchestrated with ``depends_on`` ordering and
+    per-source manifest namespaces, each landing in its own table. The
+    union of the two final states must equal global SQL LWW — i.e. the
+    multi-source run converges to exactly the single-stream answer."""
+    from pyspark.sql import types as T
+
+    from etl_warehouse_agnostic_spark.lake.table import LakeTable
+    from etl_warehouse_agnostic_spark.orchestrate import MultiSourceRunner, SourceSpec
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+
+    chg = _changes(spark, sf_dir).localCheckpoint()
+    n = chg.count()
+    is_a = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etlwa-ms-")
+    try:
+        specs = []
+        for name, pred in (("src_a", is_a), ("src_b", ~is_a)):
+            t = LakeTable.create(
+                spark, os.path.join(root, name), schema, KEYS, num_buckets=8
+            )
+            specs.append(
+                SourceSpec(
+                    name=name,
+                    source=ChangeStreamSource(spark, df=chg.where(pred)),
+                    table=t,
+                    depends_on=["src_a"] if name == "src_b" else [],
+                    epoch_size=max(1000, n // 3),
+                    engine_kwargs={"num_salts": 8},
+                )
+            )
+        out = MultiSourceRunner(spark, specs, os.path.join(root, "ck")).run_all()
+        assert all(r.status == "ran" for r in out.values()), out
+        union = specs[0].table.read().unionByName(specs[1].table.read())
+        return union.select("conv_id", "turn_idx", "role", "text").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_time_partition_scan(spark, sf_dir):
     """Time-dimension pruning made observable: the change stream lands
     in a ``bucket(4, conv_id) × days(ts)`` LakeTable, then a 3-day
@@ -969,6 +1018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # flagship engine rows first (driver evidence priority)
     "cdc_engine_e2e": q_cdc_engine_e2e,
     "warehouse_parity": q_warehouse_parity,
+    "multi_source_converge": q_multi_source_converge,
     "time_partition_scan": q_time_partition_scan,
     "lww_dedup_strategies": q_lww_dedup_strategies,
     "lww_dedup_nulls_last": q_lww_dedup_nulls_last,
@@ -1438,6 +1488,7 @@ ORACLES: dict[str, str] = {
         SELECT 'bounded' AS mode, conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'
     """,
     "warehouse_parity": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
+    "multi_source_converge": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
     "time_partition_scan": f"""
         SELECT CAST(ts AS DATE) AS day, op, count(*) AS n, max(lsn) AS max_lsn
         FROM ({CHG_SQL})

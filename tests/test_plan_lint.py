@@ -26,8 +26,8 @@ SF = "/root/testdata/sf0.001"
 # (their result is a localCheckpointed scan — nothing to lint) are
 # exercised by their own tests instead.
 SKIP = {
-    "cdc_engine_e2e", "warehouse_parity", "time_partition_scan",
-    "full_refresh", "csv_roundtrip",
+    "cdc_engine_e2e", "warehouse_parity", "multi_source_converge",
+    "time_partition_scan", "full_refresh", "csv_roundtrip",
 }
 
 # Queries whose FINAL result is a global ≤3-row (or top-k) aggregate —
