@@ -874,6 +874,68 @@ def q_warehouse_parity(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_silver_model(spark, sf_dir):
+    """A composed silver-enrichment model: LWW dedup → drop deletes →
+    ~25 chained scalar transforms in one projection — the end-to-end
+    shape of the reference's curated models (territory split
+    client_notes.sql:183-193, case-insensitive flag battery :197-213,
+    money/date casts bills.sql:103-107,219-247, toYYYYMM partitions).
+    Every primitive is the named operator from functions/scalars.py;
+    the whole chain stays in one WholeStageCodegen projection after the
+    dedup shuffle."""
+    from etl_warehouse_agnostic_spark.functions.scalars import (
+        multi_if,
+        null_if_dirty,
+        parse_microsoft_json_date,
+        parse_timestamp_best_effort,
+        position_ci,
+        to_bool_lenient,
+        try_decimal,
+    )
+
+    chg = _changes(spark, sf_dir)
+    cur = lww_dedup_window(chg, KEYS, ORDER, num_salts=8).where(F.col("op") != "D")
+    k_val = F.get_json_object("text", "$.k")
+    ms = F.format_string("/Date(%d+0000)/", F.unix_millis(F.col("ts").cast("timestamp")))
+    return cur.select(
+        "conv_id", "turn_idx",
+        F.trim(F.col("role")).alias("role_trim"),
+        F.upper("role").alias("role_u"),
+        F.lower("role").alias("role_l"),
+        null_if_dirty(k_val).alias("k_clean"),
+        F.coalesce(null_if_dirty("role"), F.lit("unknown")).alias("role_or_unknown"),
+        multi_if(
+            (F.col("turn_idx") < 4, F.lit("early")),
+            (F.col("turn_idx") < 10, F.lit("mid")),
+            default=F.lit("late"),
+        ).alias("phase"),
+        position_ci("role", "ICK").alias("has_ick"),
+        position_ci("role", "view").alias("has_view"),
+        position_ci("text", "9").alias("has_nine"),
+        try_decimal(k_val).cast("string").alias("k_dec"),
+        parse_timestamp_best_effort(F.date_format("ts", "yyyy/MM/dd HH:mm:ss")).alias("ts_be"),
+        parse_microsoft_json_date(ms).alias("ts_ms"),
+        F.split(F.col("conv_id"), "_").getItem(0).alias("conv_prefix"),
+        F.split(F.col("conv_id"), "_").getItem(1).alias("conv_num"),
+        F.substring("conv_id", 6, 5).alias("conv_digits"),
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("turn_key"),
+        F.length("text").alias("text_len"),
+        F.date_format("ts", "yyyyMM").alias("yyyymm"),
+        F.year("ts").alias("y"),
+        F.quarter("ts").alias("q"),
+        to_bool_lenient(
+            F.when(F.col("lsn") % 2 == 0, "yes").otherwise("0")
+        ).alias("even_flag"),
+        F.nullif(F.col("role"), F.lit("error")).alias("role_nz"),
+        F.md5(
+            F.concat_ws("|", "conv_id", F.col("turn_idx").cast("string"),
+                        F.coalesce("text", F.lit("∅")))
+        ).alias("record_hash"),
+        (F.col("lsn") / F.lit(1000.0)).alias("lsn_k"),
+        F.greatest(F.col("turn_idx"), F.lit(1)).alias("turn_floor"),
+    )
+
+
 def q_multi_source_converge(spark, sf_dir):
     """T7 complete: the change stream split into two disjoint sources
     (by conv-id hash), orchestrated with ``depends_on`` ordering and
@@ -1020,6 +1082,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warehouse_parity": q_warehouse_parity,
     "multi_source_converge": q_multi_source_converge,
     "time_partition_scan": q_time_partition_scan,
+    "silver_model": q_silver_model,
     "lww_dedup_strategies": q_lww_dedup_strategies,
     "lww_dedup_nulls_last": q_lww_dedup_nulls_last,
     "cdc_final_state": q_cdc_final_state,
@@ -1489,6 +1552,42 @@ ORACLES: dict[str, str] = {
     """,
     "warehouse_parity": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
     "multi_source_converge": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
+    "silver_model": f"""
+        WITH cur AS (SELECT * FROM ({LWW_SQL}) WHERE op <> 'D'),
+        en AS (SELECT *, json_extract_string(text, '$.k') AS k_val FROM cur)
+        SELECT conv_id, turn_idx,
+               trim(role) AS role_trim,
+               upper(role) AS role_u,
+               lower(role) AS role_l,
+               CASE WHEN lower(trim(k_val)) IN ('', 'null', 'none', 'nan', '<na>', 'n/a')
+                    THEN NULL ELSE k_val END AS k_clean,
+               coalesce(CASE WHEN lower(trim(role)) IN ('', 'null', 'none', 'nan', '<na>', 'n/a')
+                             THEN NULL ELSE role END, 'unknown') AS role_or_unknown,
+               CASE WHEN turn_idx < 4 THEN 'early'
+                    WHEN turn_idx < 10 THEN 'mid' ELSE 'late' END AS phase,
+               instr(lower(role), 'ick') > 0 AS has_ick,
+               instr(lower(role), 'view') > 0 AS has_view,
+               instr(lower(text), '9') > 0 AS has_nine,
+               CASE WHEN regexp_matches(trim(k_val), '^-?\\d+(\\.\\d+)?$')
+                    THEN CAST(CAST(trim(k_val) AS DECIMAL(18,2)) AS VARCHAR)
+                    ELSE NULL END AS k_dec,
+               date_trunc('second', ts) AS ts_be,
+               make_timestamp(epoch_ms(ts) * 1000) AS ts_ms,
+               string_split(conv_id, '_')[1] AS conv_prefix,
+               string_split(conv_id, '_')[2] AS conv_num,
+               substring(conv_id, 6, 5) AS conv_digits,
+               conv_id || '#' || CAST(turn_idx AS VARCHAR) AS turn_key,
+               length(text) AS text_len,
+               strftime(ts, '%Y%m') AS yyyymm,
+               CAST(year(ts) AS INT) AS y,
+               CAST(quarter(ts) AS INT) AS q,
+               CASE WHEN lsn % 2 = 0 THEN TRUE ELSE FALSE END AS even_flag,
+               nullif(role, 'error') AS role_nz,
+               md5(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|' || coalesce(text, '∅')) AS record_hash,
+               lsn / 1000.0 AS lsn_k,
+               greatest(turn_idx, 1) AS turn_floor
+        FROM en
+    """,
     "time_partition_scan": f"""
         SELECT CAST(ts AS DATE) AS day, op, count(*) AS n, max(lsn) AS max_lsn
         FROM ({CHG_SQL})
