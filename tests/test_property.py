@@ -156,3 +156,10 @@ def test_asof_join_matches_python_model(spark, lefts, rights):
         cand = [(rts, v) for (rk, rts, v) in r_rows if rk == k and rts <= ts]
         want[i] = max(cand)[1] if cand else None
     assert got == want
+    # hot-key pre-split variant must be IDENTICAL (bucket width chosen
+    # small vs the 20 s ts range so boundaries are actually crossed)
+    got_split = {
+        r["event_id"]: r["r_ver"]
+        for r in asof_join(left, right, on=["key"], split_seconds=3).collect()
+    }
+    assert got_split == want
