@@ -35,6 +35,11 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--num-salts", type=int, default=16)
     ap.add_argument("--dedup", choices=["salted", "window"], default="window")
+    ap.add_argument(
+        "--partition-by-day", action="store_true",
+        help="add the days(ts) time dimension to the table layout "
+             "(bucket × day; date-bounded reads prune to the window's files)",
+    )
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--shuffle-partitions", type=int)
     ap.add_argument("--workdir", default=None)
@@ -75,7 +80,8 @@ def main() -> int:
         shutil.rmtree(table_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
         table = LakeTable.create(
-            spark, table_dir, TRANSCRIPTS_SCHEMA_V2, KEY_COLS, num_buckets=args.buckets
+            spark, table_dir, TRANSCRIPTS_SCHEMA_V2, KEY_COLS, num_buckets=args.buckets,
+            partition_spec={"col": "ts", "transform": "day"} if args.partition_by_day else None,
         )
         eng = CdcEngine(
             spark, table, ManifestStore(ckpt_dir),
