@@ -83,6 +83,13 @@ class LakeBackend:
     def committed_epochs(self) -> list[int]:
         return self.table.committed_epochs()
 
+    def evolve_schema(self, new_columns) -> T.StructType:
+        return self.table.evolve_schema(new_columns)
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.table.schema
+
 
 _SPARK_TO_DUCK = {
     "string": "VARCHAR",
@@ -147,6 +154,29 @@ class DuckBackend:
         path on a real warehouse; O(delta), never O(table))."""
         cols = [f.name for f in self._schema.fields if f.name in df.columns]
         return df.select(*cols).toPandas()
+
+    @property
+    def schema(self) -> T.StructType:
+        return self._schema
+
+    def evolve_schema(self, new_columns) -> T.StructType:
+        """Add-only evolution, executed by the warehouse itself:
+        ``ALTER TABLE ... ADD COLUMN`` per new field — exactly the
+        reference's evolution path
+        (extractors/leaflink/extractor.py:1053-1082). Existing rows
+        read the new columns as NULL, same as LakeTable's add-only
+        column projection."""
+        fields = new_columns.fields if isinstance(new_columns, T.StructType) else list(new_columns)
+        cur_names = set(self._schema.names)
+        added = [f for f in fields if f.name not in cur_names]
+        for f in added:
+            self._con.execute(
+                f'ALTER TABLE {self.table_name} ADD COLUMN '
+                f'"{f.name}" {_SPARK_TO_DUCK[f.dataType.simpleString()]}'
+            )
+        if added:
+            self._schema = T.StructType(list(self._schema.fields) + added)
+        return self._schema
 
     def epoch_committed(self, epoch_id: int) -> bool:
         r = self._con.execute(

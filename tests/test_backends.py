@@ -51,6 +51,47 @@ def test_backends_converge_to_identical_state(spark, tmpdir_path):
     assert lake.committed_epochs() == duck.committed_epochs() == [1, 2, 3]
 
 
+def test_backends_schema_evolution_mid_stream_parity(spark, tmpdir_path):
+    """Add-only evolution mid-stream (the 'tool' column appearing at
+    epoch 2) must converge identically on both backends: the warehouse
+    executes ALTER TABLE ADD COLUMN, the lake table evolves its
+    snapshot schema; pre-evolution rows read the new column as NULL."""
+    from pyspark.sql import types as T
+
+    v1 = spark.createDataFrame(
+        [("c1", 0, "user", "hello", None), ("c1", 1, "assistant", "hi", None)],
+        TRANSCRIPTS_SCHEMA_V1,
+    )
+    tool_field = T.StructField("tool", T.StringType(), True)
+    v2_schema = T.StructType(list(TRANSCRIPTS_SCHEMA_V1.fields) + [tool_field])
+    v2 = spark.createDataFrame(
+        [("c1", 1, "assistant", "hi v2", None, "search"), ("c2", 0, "user", "new", None, None)],
+        v2_schema,
+    )
+
+    lake = LakeBackend.create(
+        spark, os.path.join(tmpdir_path, "lake"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=2
+    )
+    duck = DuckBackend.create(
+        spark, os.path.join(tmpdir_path, "wh.duckdb"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    for wh in (lake, duck):
+        wh.merge(v1, epoch_id=1)
+        wh.evolve_schema([tool_field])
+        wh.merge(v2, epoch_id=2)
+
+    def full(df):
+        return sorted(
+            (r.conv_id, r.turn_idx, r.role, r.text, r.tool)
+            for r in df.select("conv_id", "turn_idx", "role", "text", "tool").collect()
+        )
+
+    a, b = full(lake.read()), full(duck.read())
+    assert a == b
+    assert ("c1", 0, "user", "hello", None) in a        # pre-evolution row: tool NULL
+    assert ("c1", 1, "assistant", "hi v2", "search") in a  # upserted with tool
+
+
 def test_duck_backend_replay_is_noop_and_transactional(spark, tmpdir_path):
     chg = generate_changes(spark, 2000, n_convs=20, turns_per_conv=6, seed=7).localCheckpoint()
     duck = DuckBackend.create(
