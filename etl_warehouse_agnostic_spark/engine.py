@@ -101,7 +101,7 @@ class CdcEngine:
     def __init__(
         self,
         spark: SparkSession,
-        table: LakeTable,
+        table: LakeTable | None,  # None for the run_warehouse path
         checkpoints: ManifestStore,
         key_cols: list[str] | None = None,
         order_cols: list[str] | None = None,
@@ -343,6 +343,82 @@ class CdcEngine:
             results.append(self.apply_epoch(slice_df, epoch, lsn_range=(hi_water, hi)))
             hi_water = hi
             epoch += 1
+        return results
+
+    def run_warehouse(
+        self,
+        warehouse,
+        source: ChangeStreamSource,
+        epoch_size: int,
+        max_epochs: int | None = None,
+        lookback: int = 0,
+    ) -> list[EpochResult]:
+        """The same tail loop against ANY ``WarehouseBackend`` (the
+        warehouse-agnostic path): slice → add-only evolution (the
+        warehouse executes it, e.g. ALTER TABLE ADD COLUMN) → salted
+        LWW dedup → split → backend MERGE with the epoch id → manifest.
+
+        Exactly-once holds per backend contract: a replayed epoch id is
+        a skipped no-op inside ``merge``; a crash between merge and
+        manifest-finalize heals on the next run (epoch found in the
+        backend's ledger → manifest finalized without re-applying).
+        The lake-table path (``run``) additionally stages the delta for
+        per-bucket footer lineage — a LakeTable specialization this
+        generic loop does not assume.
+        """
+        results: list[EpochResult] = []
+        hi_water = self.checkpoints.high_water_lsn()
+        source_max = source.max_lsn()
+        epoch = (self.checkpoints.last_epoch() or 0) + 1
+        while hi_water < source_max:
+            if max_epochs is not None and len(results) >= max_epochs:
+                break
+            hi = min(hi_water + epoch_size, source_max)
+            if self.checkpoints.is_finalized(epoch):
+                results.append(EpochResult(epoch=epoch, skipped=True))
+                hi_water, epoch = hi, epoch + 1
+                continue
+            t0 = time.monotonic()
+            changes = source.read_slice(hi_water, hi, lookback=lookback)
+            added = new_fields(changes, warehouse.schema, passthrough=CDC_COLS)
+            schema = warehouse.evolve_schema(added) if added else warehouse.schema
+            deduped = lww_dedup(
+                changes, self.key_cols, self.order_cols,
+                method=self.dedup_method, num_salts=self.num_salts,
+            )
+            envelope = [c for c in ("op", "lsn", "schema_ver") if c in deduped.columns]
+            projected = (
+                project_arrow(deduped, schema, keep=envelope)
+                if (added and self.arrow_projection)
+                else project_columns(deduped, schema, keep=envelope)
+            )
+            upserts, deletes = split_ops(projected)
+            res = warehouse.merge(
+                upserts.drop("lsn", "schema_ver"),
+                delete_keys=deletes.select(*self.key_cols),
+                epoch_id=epoch,
+            )
+            manifest = {
+                "epoch": epoch,
+                "offsets": {"all": {"max_lsn": hi, "rows": res.rows_written}},
+                "metrics": {
+                    "rows_upserted": 0 if res.skipped else res.rows_written,
+                    "wall_ms": int((time.monotonic() - t0) * 1000),
+                },
+                "lineage": {
+                    "source": self.source_name,
+                    "lsn_range": [hi_water, hi],
+                    "added_columns": [f.name for f in added],
+                },
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            self.checkpoints.finalize(epoch, manifest)
+            results.append(EpochResult(
+                epoch=epoch, skipped=res.skipped,
+                rows_upserted=manifest["metrics"]["rows_upserted"],
+                wall_ms=manifest["metrics"]["wall_ms"],
+            ))
+            hi_water, epoch = hi, epoch + 1
         return results
 
     def run_bounded(

@@ -6,7 +6,10 @@ import os
 
 from pyspark.sql import functions as F
 
+from etl_warehouse_agnostic_spark.engine import CdcEngine
 from etl_warehouse_agnostic_spark.lake.backends import DuckBackend, LakeBackend, make_warehouse
+from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
+from etl_warehouse_agnostic_spark.lake.table import LakeTable
 from etl_warehouse_agnostic_spark.operators.dedup import lww_dedup_window, split_ops
 from etl_warehouse_agnostic_spark.schemas import KEY_COLS, TRANSCRIPTS_SCHEMA_V1
 from etl_warehouse_agnostic_spark.sources.generator import generate_changes
@@ -112,3 +115,48 @@ def test_duck_backend_replay_is_noop_and_transactional(spark, tmpdir_path):
     duck.overwrite(duck.read(), epoch_id=99)
     assert _final_state(duck.read()) == before
     assert 99 in duck.committed_epochs()
+
+
+def test_engine_tail_loop_drives_warehouse_backend(spark, tmpdir_path):
+    """The FULL engine tail loop (watermark slices, mid-stream schema
+    evolution, exactly-once manifests) against the embedded-SQL
+    warehouse must converge to the same state as the lake-table
+    engine on the same stream, and a re-run must be a no-op."""
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+
+    chg = generate_changes(
+        spark, 4000, n_convs=40, turns_per_conv=8, seed=31, evolution_lsn=2000
+    ).localCheckpoint()
+    src = lambda: ChangeStreamSource(spark, df=chg)  # noqa: E731
+
+    # lake engine (the reference path)
+    lake_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "lake"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=4
+    )
+    lake_eng = CdcEngine(
+        spark, lake_t, ManifestStore(os.path.join(tmpdir_path, "ck-lake")), num_salts=4
+    )
+    lake_eng.run(src(), epoch_size=1500)
+
+    # warehouse engine (generic tail loop, no staging/buckets)
+    duck = DuckBackend.create(
+        spark, os.path.join(tmpdir_path, "wh.duckdb"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    ck = ManifestStore(os.path.join(tmpdir_path, "ck-duck"))
+    eng = CdcEngine(spark, None, ck, num_salts=4)
+    results = eng.run_warehouse(duck, src(), epoch_size=1500)
+    assert len(results) >= 2 and not any(r.skipped for r in results)
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+
+    def state(df):
+        return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+    assert state(lake_t.read()) == state(duck.read())
+    assert "tool" in duck.read().columns  # mid-stream evolution landed
+    assert ck.high_water_lsn() == chg.agg(F.max("lsn")).first()[0]
+
+    # resume: nothing new → no epochs; replaying a finalized range is a no-op
+    again = eng.run_warehouse(duck, src(), epoch_size=1500)
+    assert again == []
+    assert state(duck.read()) == state(lake_t.read())
