@@ -830,13 +830,15 @@ def q_media_frame_sample(spark, sf_dir):
 # ------------------------------------------------ the flagship: engine
 
 def q_warehouse_parity(spark, sf_dir):
-    """The warehouse-agnostic axis made real: the SAME deduped change
-    stream applied through the config-switched SECOND backend (embedded
-    SQL warehouse, ``lake/backends.DuckBackend`` — the reference's
-    Postgres/ClickHouse stand-in, config/warehouse_config.py:25-66) in
-    three LSN-range epochs with a deliberate replay of epoch 2 (must
-    no-op). Final state must equal plain SQL LWW — i.e. exactly what
-    LakeTable reaches on the same stream (cdc_engine_e2e's oracle)."""
+    """The warehouse-agnostic axis made real: the FULL engine tail loop
+    (``CdcEngine.run_warehouse`` — watermark slices, LWW dedup,
+    exactly-once manifests) driving the config-switched SECOND backend
+    (embedded SQL warehouse, ``lake/backends.DuckBackend`` — the
+    reference's Postgres/ClickHouse stand-in,
+    config/warehouse_config.py:25-66), plus a resume-from-checkpoint
+    that must be a no-op. Final state must equal plain SQL LWW — i.e.
+    exactly what LakeTable reaches on the same stream
+    (cdc_engine_e2e's oracle)."""
     from pyspark.sql import types as T
 
     from etl_warehouse_agnostic_spark.lake.backends import make_warehouse
@@ -849,27 +851,27 @@ def q_warehouse_parity(spark, sf_dir):
             T.StructField("turn_idx", T.IntegerType(), False),
             T.StructField("role", T.StringType(), True),
             T.StructField("text", T.StringType(), True),
+            T.StructField("ts", chg.schema["ts"].dataType, True),
         ]
     )
     root = tempfile.mkdtemp(prefix="etlwa-wh-")
     try:
+        from etl_warehouse_agnostic_spark.engine import CdcEngine
+        from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
+        from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+
         wh = make_warehouse(
             spark, {"type": "duckdb", "path": os.path.join(root, "wh.duckdb")},
             schema, KEYS,
         )
-        bounds = [0, n // 3, 2 * n // 3, n + 1]
-        for i in range(3):
-            lo, hi = bounds[i], bounds[i + 1]
-            epoch = chg.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
-            deduped = lww_dedup_window(epoch, KEYS, ORDER, num_salts=4)
-            ups, dels = split_ops(deduped)
-            wh.merge(ups, delete_keys=dels, epoch_id=i + 1)
-        # replay epoch 2 verbatim — exactly-once must make it a no-op
-        lo, hi = bounds[1], bounds[2]
-        replay = chg.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
-        ups, dels = split_ops(lww_dedup_window(replay, KEYS, ORDER, num_salts=4))
-        assert wh.merge(ups, delete_keys=dels, epoch_id=2).skipped
-        return wh.read().localCheckpoint()
+        ck = ManifestStore(os.path.join(root, "ck"))
+        eng = CdcEngine(spark, None, ck, num_salts=8)
+        src = ChangeStreamSource(spark, df=chg)
+        results = eng.run_warehouse(wh, src, epoch_size=max(1000, n // 3))
+        assert results and not any(r.skipped for r in results)
+        # resume from checkpoint with nothing new — exactly-once no-op
+        assert eng.run_warehouse(wh, src, epoch_size=max(1000, n // 3)) == []
+        return wh.read().select("conv_id", "turn_idx", "role", "text").localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -957,7 +959,7 @@ def q_multi_source_converge(spark, sf_dir):
             T.StructField("turn_idx", T.IntegerType(), False),
             T.StructField("role", T.StringType(), True),
             T.StructField("text", T.StringType(), True),
-            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("ts", chg.schema["ts"].dataType, True),
         ]
     )
     root = tempfile.mkdtemp(prefix="etlwa-ms-")

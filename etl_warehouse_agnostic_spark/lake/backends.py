@@ -99,6 +99,7 @@ _SPARK_TO_DUCK = {
     "float": "FLOAT",
     "boolean": "BOOLEAN",
     "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
     "date": "DATE",
 }
 
