@@ -41,6 +41,7 @@ HEADLINE = [
     "blocked_near_pairs",
     "text_battery",
     "media_battery",
+    "silver_model",
 ]
 
 
