@@ -797,14 +797,17 @@ def q_training_pipeline(spark, sf_dir):
 
 
 def q_media_battery(spark, sf_dir):
-    """Multimodal plumbing in one row: Arrow mapInPandas feature
-    extraction (byte length, payload md5, declared decode stub) joined
-    with the pure-Column resize plan over the same media table."""
+    """Multimodal plumbing in one row AND one pass: the JVM-computed
+    resize plan rides through the Arrow mapInPandas feature extraction
+    (byte length, payload md5, declared decode stub) as pass-through
+    columns — one scan, zero shuffles, no self-join."""
     d = load(spark, sf_dir, "documents")
     media = multimodal.to_media_table(d, "doc_id", "text")
-    feats = multimodal.extract_features(media)
-    resize = multimodal.plan_resize(media, max_dim=100)
-    return feats.join(resize, "media_id")
+    planned = media.select("*", *multimodal.resize_plan_columns(max_dim=100))
+    return multimodal.extract_features(
+        planned,
+        pass_through=["width", "height", "target_width", "target_height", "needs_resize"],
+    )
 
 
 def q_media_frame_sample(spark, sf_dir):

@@ -73,6 +73,23 @@ def decode_image_stub(payload: bytes) -> "object":
     raise NotImplementedError("image decode requires PIL/libvips — not in this container")
 
 
+def resize_plan_columns(max_dim: int) -> list:
+    """The aspect-ratio resize-plan math as appendable Columns (longer
+    side bounded to ``max_dim``, no upscaling) — so callers can fuse
+    the plan into another pass instead of paying a join."""
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    longer = F.greatest(w, h)
+    scale = F.least(F.lit(1.0), F.lit(float(max_dim)) / longer)
+    return [
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.greatest(F.lit(1), F.floor(w * scale).cast("int")).alias("target_width"),
+        F.greatest(F.lit(1), F.floor(h * scale).cast("int")).alias("target_height"),
+        (longer > max_dim).alias("needs_resize"),
+    ]
+
+
 def plan_resize(media: DataFrame, max_dim: int) -> DataFrame:
     """Resize planning — the aspect-ratio math, JVM-side.
 
@@ -84,18 +101,7 @@ def plan_resize(media: DataFrame, max_dim: int) -> DataFrame:
     Catalyst can partition-prune and the Python boundary only ever sees
     rows that actually need work (``needs_resize``).
     """
-    w = F.col("meta.width").cast("double")
-    h = F.col("meta.height").cast("double")
-    longer = F.greatest(w, h)
-    scale = F.least(F.lit(1.0), F.lit(float(max_dim)) / longer)
-    return media.select(
-        "media_id",
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        F.greatest(F.lit(1), F.floor(w * scale).cast("int")).alias("target_width"),
-        F.greatest(F.lit(1), F.floor(h * scale).cast("int")).alias("target_height"),
-        (longer > max_dim).alias("needs_resize"),
-    )
+    return media.select("media_id", *resize_plan_columns(max_dim))
 
 
 def sample_frame_offsets(media: DataFrame, every_ms: int) -> DataFrame:
@@ -113,13 +119,26 @@ def sample_frame_offsets(media: DataFrame, every_ms: int) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, try_decode: bool = False) -> DataFrame:
+def extract_features(
+    media: DataFrame, try_decode: bool = False, pass_through: list[str] | None = None
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     Batch shape: pandas DataFrame per Arrow batch; ``payload`` arrives
     as bytes objects in a Series — operations stay whole-column. The
     (stubbed) decode is attempted per batch only when try_decode=True.
+
+    ``pass_through``: input columns copied verbatim to the output — the
+    fusion hook that lets JVM-computed columns (e.g. the resize plan)
+    ride through the one Arrow pass instead of paying a self-join to
+    reattach them (at corpus scale: one scan, zero shuffles, vs two
+    scans plus an exchange per side).
     """
+    pt = list(pass_through or [])
+    out_schema = T.StructType(
+        list(FEATURES_SCHEMA.fields)
+        + [media.schema[c] for c in pt]
+    )
 
     def _features(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -135,15 +154,16 @@ def extract_features(media: DataFrame, try_decode: bool = False) -> DataFrame:
                     decoded = True
                 except NotImplementedError:
                     decoded = False
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "byte_len": payload.map(lambda b: len(b) if b is not None else None).astype("Int64"),
-                    "payload_md5": payload.map(
-                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
-                    ),
-                    "decoded": decoded,
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "byte_len": payload.map(lambda b: len(b) if b is not None else None).astype("Int64"),
+                "payload_md5": payload.map(
+                    lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                ),
+                "decoded": decoded,
+            }
+            for c in pt:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(_features, schema=FEATURES_SCHEMA)
+    return media.mapInPandas(_features, schema=out_schema)
