@@ -160,3 +160,34 @@ def test_engine_tail_loop_drives_warehouse_backend(spark, tmpdir_path):
     again = eng.run_warehouse(duck, src(), epoch_size=1500)
     assert again == []
     assert state(duck.read()) == state(lake_t.read())
+
+
+def test_warehouse_loop_heals_crash_between_merge_and_manifest(spark, tmpdir_path):
+    """T2 on the warehouse path: a crash after the warehouse MERGE but
+    before the manifest finalize must heal on the next run — the epoch
+    is found in the warehouse's ledger, the merge is a skipped no-op,
+    and the manifest gets finalized without re-applying."""
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+
+    chg = generate_changes(spark, 2000, n_convs=20, turns_per_conv=6, seed=17).localCheckpoint()
+    duck = DuckBackend.create(
+        spark, os.path.join(tmpdir_path, "wh.duckdb"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    ck = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    eng = CdcEngine(spark, None, ck, num_salts=4)
+    eng.run_warehouse(duck, ChangeStreamSource(spark, df=chg), epoch_size=800)
+    state_before = _final_state(duck.read())
+    last = ck.last_epoch()
+    assert last is not None and last >= 2
+
+    # simulate the crash window: the last epoch's MERGE committed (it is
+    # in the warehouse ledger) but its manifest write was lost
+    os.unlink(os.path.join(ck.path, f"epoch={last:08d}.json"))
+    assert not ck.is_finalized(last)
+    assert last in duck.committed_epochs()
+
+    results = eng.run_warehouse(duck, ChangeStreamSource(spark, df=chg), epoch_size=800)
+    healed = [r for r in results if r.epoch == last]
+    assert healed and healed[0].skipped  # ledger hit → no re-apply
+    assert ck.is_finalized(last)
+    assert _final_state(duck.read()) == state_before
