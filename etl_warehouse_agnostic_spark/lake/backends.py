@@ -241,6 +241,12 @@ class DuckBackend:
         return MergeResult(0, epoch_id, len(pdf), 0, 0)
 
     def read(self) -> DataFrame:
+        """Whole-table read back into Spark. Embedded-file scope only:
+        this materializes via the driver, which is fine for an embedded
+        warehouse file but NOT the cluster path — fronting a real
+        Postgres/ClickHouse, this method is ``spark.read.jdbc`` with
+        ``partitionColumn``/``numPartitions`` (parallel, pushed-down),
+        same contract, no driver bottleneck."""
         pdf = self._con.execute(f"SELECT * FROM {self.table_name}").df()
         if len(pdf) == 0:
             return self._spark.createDataFrame([], self._schema)

@@ -98,31 +98,68 @@ class MultiSourceRunner:
         """Per-source manifest namespace — independent watermarks."""
         return ManifestStore(os.path.join(self.checkpoint_root, name))
 
-    def run_all(self, max_epochs: int | None = None) -> dict[str, SourceRun]:
+    def _run_one(self, name: str, max_epochs: int | None) -> SourceRun:
+        spec = self.specs[name]
+        store = self.manifests(name)
+        if spec.refresh_interval_hours is not None and should_skip_refresh(
+            store, spec.refresh_interval_hours
+        ):
+            return SourceRun(name, "skipped_fresh")
+        eng = CdcEngine(
+            self.spark, spec.table, store, source_name=name, **spec.engine_kwargs
+        )
+        try:
+            results = eng.run(spec.source, epoch_size=spec.epoch_size,
+                              max_epochs=max_epochs)
+            return SourceRun(name, "ran", results=results)
+        except Exception as e:  # gate dependents, keep siblings going
+            return SourceRun(name, "failed", error=repr(e))
+
+    def run_all(
+        self, max_epochs: int | None = None, max_parallel: int = 1
+    ) -> dict[str, SourceRun]:
+        """Run every source respecting ``depends_on``.
+
+        ``max_parallel > 1`` runs each dependency level's mutually
+        independent sources concurrently (thread pool → concurrent
+        Spark jobs inside one session — Spark's scheduler interleaves
+        their stages across executors, which is how N independent
+        change streams keep a large cluster busy; state is disjoint:
+        one table + one manifest namespace per source). Ordering
+        guarantees are per-level: a source never starts before all its
+        dependencies finished, and a failed dependency gates its
+        dependents exactly as in serial mode."""
         out: dict[str, SourceRun] = {}
-        for name in self.order:
-            spec = self.specs[name]
-            failed_dep = next(
-                (d for d in spec.depends_on if out[d].status in ("failed", "skipped_dependency")),
-                None,
-            )
-            if failed_dep is not None:
-                out[name] = SourceRun(name, "skipped_dependency",
-                                      error=f"dependency {failed_dep!r} did not run")
-                continue
-            store = self.manifests(name)
-            if spec.refresh_interval_hours is not None and should_skip_refresh(
-                store, spec.refresh_interval_hours
-            ):
-                out[name] = SourceRun(name, "skipped_fresh")
-                continue
-            eng = CdcEngine(
-                self.spark, spec.table, store, source_name=name, **spec.engine_kwargs
-            )
-            try:
-                results = eng.run(spec.source, epoch_size=spec.epoch_size,
-                                  max_epochs=max_epochs)
-                out[name] = SourceRun(name, "ran", results=results)
-            except Exception as e:  # gate dependents, keep siblings going
-                out[name] = SourceRun(name, "failed", error=repr(e))
+        remaining = list(self.order)
+        while remaining:
+            # next level: sources whose deps are all resolved
+            level = [
+                n for n in remaining
+                if all(d in out for d in self.specs[n].depends_on)
+            ]
+            runnable: list[str] = []
+            for name in level:
+                failed_dep = next(
+                    (d for d in self.specs[name].depends_on
+                     if out[d].status in ("failed", "skipped_dependency")),
+                    None,
+                )
+                if failed_dep is not None:
+                    out[name] = SourceRun(name, "skipped_dependency",
+                                          error=f"dependency {failed_dep!r} did not run")
+                else:
+                    runnable.append(name)
+            if max_parallel > 1 and len(runnable) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+                    for name, run in zip(
+                        runnable,
+                        pool.map(lambda n: self._run_one(n, max_epochs), runnable),
+                    ):
+                        out[name] = run
+            else:
+                for name in runnable:
+                    out[name] = self._run_one(name, max_epochs)
+            remaining = [n for n in remaining if n not in out]
         return out

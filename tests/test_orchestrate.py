@@ -112,3 +112,35 @@ def test_dependency_failure_gates_dependents(spark, tmpdir_path):
     assert out["bad"].status == "failed" and "source down" in out["bad"].error
     assert out["child"].status == "skipped_dependency"
     assert out["indep"].status == "ran" and len(out["indep"].results) >= 1
+
+
+def test_parallel_level_execution_matches_serial(spark, tmpdir_path):
+    """max_parallel>1 runs a level's independent sources concurrently
+    (separate tables + manifest namespaces) and must produce exactly
+    the serial result, with dependency gating intact."""
+    chg = generate_changes(spark, 3000, n_convs=30, turns_per_conv=5, seed=41).localCheckpoint()
+    half = chg.agg(F.max("lsn")).first()[0] // 2
+    parts = [chg.where(F.col("lsn") <= half), chg.where(F.col("lsn") > half)]
+
+    roots = {}
+    for mode, par in (("serial", 1), ("parallel", 4)):
+        root = os.path.join(tmpdir_path, mode)
+        specs = [
+            _mk(spark, root, "a1", parts[0]),
+            _mk(spark, root, "a2", parts[1]),
+            _mk(spark, root, "child", chg, deps=["a1", "a2"]),
+        ]
+        out = MultiSourceRunner(spark, specs, os.path.join(root, "ck")).run_all(
+            max_parallel=par
+        )
+        assert all(r.status == "ran" for r in out.values()), out
+        roots[mode] = specs
+
+    def state(t):
+        return sorted(
+            (r.conv_id, r.turn_idx, r.text)
+            for r in t.read().select("conv_id", "turn_idx", "text").collect()
+        )
+
+    for i in range(3):
+        assert state(roots["serial"][i].table) == state(roots["parallel"][i].table)
