@@ -49,6 +49,19 @@ def test_plan_has_no_scale_killers(spark, name):
     )
 
 
+def test_incremental_slice_filters_reach_the_scan(spark):
+    """The watermark slice predicate must land IN the parquet scan
+    (DataFilters with both lsn bounds) — an unpushed slice filter means
+    every epoch reads the whole change log at 10^10 events."""
+    df = QUERIES["incremental_slice"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, "no parquet scan in plan"
+    assert any(
+        "DataFilters" in l and ">" in l and "<=" in l for l in scan_lines
+    ), f"slice bounds not pushed into the scan: {scan_lines}"
+
+
 @pytest.mark.parametrize("name", ["exact_dedup", "training_pipeline"])
 def test_dedup_shuffle_key_is_hash_not_text(spark, name):
     """The dedup exchange must key on md5(normalized text), never the
