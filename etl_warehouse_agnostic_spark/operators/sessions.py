@@ -11,6 +11,15 @@ the key and hot keys are bounded by per-conversation event counts:
 
 Output adds ``session_seq`` (1-based per key) and ``session_id``
 (key#seq). Deterministic for unique (key, ts[, tiebreak]) orderings.
+
+Hot-key bound: like any running-state window, one key's timeline is
+one task — O(events of the hottest key). For conversation/user keys
+that bound is the per-entity event count (thousands, not billions),
+which is why this op does not carry the time-bucket pre-split that
+``asof_join(split_seconds=...)`` has; if a deployment sessionizes a
+key class with unbounded per-key volume, apply the same two-level
+scheme there (per-(key, bucket) numbering + boundary stitch carrying
+last-ts and cumulative count across buckets).
 """
 
 from __future__ import annotations
