@@ -374,52 +374,67 @@ class CdcEngine:
             if max_epochs is not None and len(results) >= max_epochs:
                 break
             hi = min(hi_water + epoch_size, source_max)
-            if self.checkpoints.is_finalized(epoch):
-                results.append(EpochResult(epoch=epoch, skipped=True))
-                hi_water, epoch = hi, epoch + 1
-                continue
-            t0 = time.monotonic()
             changes = source.read_slice(hi_water, hi, lookback=lookback)
-            added = new_fields(changes, warehouse.schema, passthrough=CDC_COLS)
-            schema = warehouse.evolve_schema(added) if added else warehouse.schema
-            deduped = lww_dedup(
-                changes, self.key_cols, self.order_cols,
-                method=self.dedup_method, num_salts=self.num_salts,
+            results.append(
+                self.apply_epoch_warehouse(warehouse, changes, epoch, lsn_range=(hi_water, hi))
             )
-            envelope = [c for c in ("op", "lsn", "schema_ver") if c in deduped.columns]
-            projected = (
-                project_arrow(deduped, schema, keep=envelope)
-                if (added and self.arrow_projection)
-                else project_columns(deduped, schema, keep=envelope)
-            )
-            upserts, deletes = split_ops(projected)
-            res = warehouse.merge(
-                upserts.drop("lsn", "schema_ver"),
-                delete_keys=deletes.select(*self.key_cols),
-                epoch_id=epoch,
-            )
-            manifest = {
-                "epoch": epoch,
-                "offsets": {"all": {"max_lsn": hi, "rows": res.rows_written}},
-                "metrics": {
-                    "rows_upserted": 0 if res.skipped else res.rows_written,
-                    "wall_ms": int((time.monotonic() - t0) * 1000),
-                },
-                "lineage": {
-                    "source": self.source_name,
-                    "lsn_range": [hi_water, hi],
-                    "added_columns": [f.name for f in added],
-                },
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            }
-            self.checkpoints.finalize(epoch, manifest)
-            results.append(EpochResult(
-                epoch=epoch, skipped=res.skipped,
-                rows_upserted=manifest["metrics"]["rows_upserted"],
-                wall_ms=manifest["metrics"]["wall_ms"],
-            ))
             hi_water, epoch = hi, epoch + 1
         return results
+
+    def apply_epoch_warehouse(
+        self,
+        warehouse,
+        changes: DataFrame,
+        epoch: int,
+        lsn_range: tuple[int, int] | None = None,
+    ) -> EpochResult:
+        """One epoch against a ``WarehouseBackend`` — the single-epoch
+        body of :meth:`run_warehouse`, also the streaming
+        ``foreachBatch`` target (each micro-batch = one epoch)."""
+        if self.checkpoints.is_finalized(epoch):
+            return EpochResult(epoch=epoch, skipped=True)
+        t0 = time.monotonic()
+        added = new_fields(changes, warehouse.schema, passthrough=CDC_COLS)
+        schema = warehouse.evolve_schema(added) if added else warehouse.schema
+        deduped = lww_dedup(
+            changes, self.key_cols, self.order_cols,
+            method=self.dedup_method, num_salts=self.num_salts,
+        )
+        envelope = [c for c in ("op", "lsn", "schema_ver") if c in deduped.columns]
+        projected = (
+            project_arrow(deduped, schema, keep=envelope)
+            if (added and self.arrow_projection)
+            else project_columns(deduped, schema, keep=envelope)
+        )
+        upserts, deletes = split_ops(projected)
+        res = warehouse.merge(
+            upserts.drop("lsn", "schema_ver"),
+            delete_keys=deletes.select(*self.key_cols),
+            epoch_id=epoch,
+        )
+        if lsn_range is None:
+            row = changes.agg(F.min("lsn"), F.max("lsn")).first()
+            lsn_range = (int(row[0] or 0), int(row[1] or 0))
+        manifest = {
+            "epoch": epoch,
+            "offsets": {"all": {"max_lsn": lsn_range[1], "rows": res.rows_written}},
+            "metrics": {
+                "rows_upserted": 0 if res.skipped else res.rows_written,
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+            },
+            "lineage": {
+                "source": self.source_name,
+                "lsn_range": list(lsn_range),
+                "added_columns": [f.name for f in added],
+            },
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self.checkpoints.finalize(epoch, manifest)
+        return EpochResult(
+            epoch=epoch, skipped=res.skipped,
+            rows_upserted=manifest["metrics"]["rows_upserted"],
+            wall_ms=manifest["metrics"]["wall_ms"],
+        )
 
     def run_bounded(
         self,

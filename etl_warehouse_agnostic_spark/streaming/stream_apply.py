@@ -49,11 +49,16 @@ class StreamingCdcApply:
         checkpoint_location: str,
         max_files_per_trigger: int | None = None,
         epoch_base: int | None = None,
+        warehouse=None,
     ):
         self.engine = engine
         self.changes_path = changes_path
         self.checkpoint_location = checkpoint_location
         self.max_files_per_trigger = max_files_per_trigger
+        # When set, micro-batches apply through the warehouse-agnostic
+        # backend contract (engine.apply_epoch_warehouse) instead of the
+        # lake table — same epoch-id exactly-once either way.
+        self.warehouse = warehouse
         # Offset epoch ids past whatever the batch path already applied.
         # The base is PINNED on first start (persisted beside the
         # streaming checkpoint): re-deriving it from last_epoch() after a
@@ -88,7 +93,11 @@ class StreamingCdcApply:
         return base
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        self.engine.apply_epoch(batch_df, epoch=self.epoch_base + batch_id + 1)
+        epoch = self.epoch_base + batch_id + 1
+        if self.warehouse is not None:
+            self.engine.apply_epoch_warehouse(self.warehouse, batch_df, epoch)
+        else:
+            self.engine.apply_epoch(batch_df, epoch=epoch)
 
     def start(self, available_now: bool = True, schema=None):
         reader = self.engine.spark.readStream
