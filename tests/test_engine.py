@@ -192,3 +192,30 @@ def test_run_bounded_matches_oracle_and_caps_epochs(spark, tmpdir_path, changes_
     assert table_state(eng.table) == [tuple(r) for r in oracle_final_state(changes_path)]
     # resume is a no-op once drained
     assert eng.run_bounded(src, max_rows_per_epoch=900) == []
+
+
+def test_engine_on_day_partitioned_table_converges_and_prunes(spark, tmpdir_path, changes_path):
+    """The epoch loop over a bucket × days(ts) layout must reach the
+    same final state as the plain layout, keep every data file
+    day-tagged across CoW merges, and serve pruned day-bounded reads."""
+    plain = mk_engine(spark, os.path.join(tmpdir_path, "plain"))
+    plain_src = ChangeStreamSource(spark, path=changes_path)
+    plain.run(plain_src, epoch_size=1000)
+
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "day", "t"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS,
+        num_buckets=8, partition_spec={"col": "ts", "transform": "day"},
+    )
+    eng = CdcEngine(
+        spark, table, ManifestStore(os.path.join(tmpdir_path, "day", "ck"))
+    )
+    eng.run(ChangeStreamSource(spark, path=changes_path), epoch_size=1000)
+
+    assert table_state(table) == table_state(plain.table)
+    snap = table.snapshot()
+    assert all("_pd=" in p for ps in snap["files"].values() for p in ps)
+    # a day-bounded read opens only that day's files and filters rows
+    days = sorted({p.split("_pd=")[1][:10] for ps in snap["files"].values() for p in ps})
+    one = table.read(day_range=(days[0], days[0]))
+    assert one.count() > 0
+    assert all(f"_pd={days[0]}" in f for f in one.inputFiles())
