@@ -200,7 +200,7 @@ def test_engine_on_day_partitioned_table_converges_and_prunes(spark, tmpdir_path
     day-tagged across CoW merges, and serve pruned day-bounded reads."""
     plain = mk_engine(spark, os.path.join(tmpdir_path, "plain"))
     plain_src = ChangeStreamSource(spark, path=changes_path)
-    plain.run(plain_src, epoch_size=1000)
+    plain.run(plain_src, epoch_size=2000)
 
     table = LakeTable.create(
         spark, os.path.join(tmpdir_path, "day", "t"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS,
@@ -209,7 +209,7 @@ def test_engine_on_day_partitioned_table_converges_and_prunes(spark, tmpdir_path
     eng = CdcEngine(
         spark, table, ManifestStore(os.path.join(tmpdir_path, "day", "ck"))
     )
-    eng.run(ChangeStreamSource(spark, path=changes_path), epoch_size=1000)
+    eng.run(ChangeStreamSource(spark, path=changes_path), epoch_size=2000)
 
     assert table_state(table) == table_state(plain.table)
     snap = table.snapshot()
