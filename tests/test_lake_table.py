@@ -164,3 +164,37 @@ def test_time_partition_pruning(spark, tmpdir_path):
     assert all("_pd=2024-01-05" in f for f in day5.inputFiles())
     # full read still complete
     assert t.read().count() == len(rows)
+
+
+def test_time_partition_day_range_equals_filter_property(spark, tmpdir_path):
+    """For arbitrary inclusive day windows, a pruned day_range read must
+    return exactly the rows a plain date filter selects on a full scan
+    (metadata pruning may never change results, only file counts)."""
+    import datetime
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS,
+        num_buckets=4, partition_spec={"col": "ts", "transform": "day"},
+    )
+    d = datetime.datetime
+    rows = [
+        (f"conv_{i:08d}", k, "user", f"t{i}.{k}", d(2024, 1, 1 + ((i * 7 + k) % 9), (i + k) % 24))
+        for i in range(40) for k in range(2)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    t.overwrite(df)
+    full = t.read()
+    for lo_d, hi_d in [(1, 1), (2, 5), (1, 9), (4, 4), (8, 9), (3, 7)]:
+        lo, hi = f"2024-01-{lo_d:02d}", f"2024-01-{hi_d:02d}"
+        pruned = sorted(
+            (r.conv_id, r.turn_idx) for r in t.read(day_range=(lo, hi)).collect()
+        )
+        filtered = sorted(
+            (r.conv_id, r.turn_idx)
+            for r in full.where(
+                (F.to_date("ts") >= lo) & (F.to_date("ts") <= hi)
+            ).collect()
+        )
+        assert pruned == filtered, (lo, hi)
