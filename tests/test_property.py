@@ -163,3 +163,37 @@ def test_asof_join_matches_python_model(spark, lefts, rights):
         for r in asof_join(left, right, on=["key"], split_seconds=3).collect()
     }
     assert got_split == want
+
+
+# ---- warehouse loop: random epoch boundaries vs the python oracle ----
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    events=st.lists(event, min_size=1, max_size=30),
+    epoch_size=st.integers(1, 31),
+)
+def test_warehouse_loop_random_epochs_converge(spark, tmp_path_factory, events, epoch_size):
+    """run_warehouse over arbitrary event interleavings and epoch sizes
+    must reach exactly the python-oracle state (same invariant the lake
+    loop holds) — epoch boundaries may never change the answer."""
+    from etl_warehouse_agnostic_spark.lake.backends import DuckBackend
+
+    root = str(tmp_path_factory.mktemp("whprop"))
+    rows = [
+        (lsn, op, f"c{conv}", turn, "user", f"t{lsn}" if op != "D" else None, None)
+        for lsn, (op, conv, turn) in enumerate(events, start=1)
+    ]
+    df = spark.createDataFrame(
+        rows, "lsn long, op string, conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    duck = DuckBackend.create(
+        spark, os.path.join(root, "wh.duckdb"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    eng = CdcEngine(spark, None, ManifestStore(os.path.join(root, "ck")), num_salts=2)
+    eng.run_warehouse(duck, ChangeStreamSource(spark, df=df), epoch_size=epoch_size)
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in duck.read().select("conv_id", "turn_idx", "text").collect()
+    }
+    assert dict(sorted(got.items())) == python_oracle(events)
