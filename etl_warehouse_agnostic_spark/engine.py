@@ -361,7 +361,15 @@ class CdcEngine:
         Exactly-once holds per backend contract: a replayed epoch id is
         a skipped no-op inside ``merge``; a crash between merge and
         manifest-finalize heals on the next run (epoch found in the
-        backend's ledger → manifest finalized without re-applying).
+        backend's ledger → manifest finalized from the ledger's
+        RECORDED lsn range, without re-applying). The recorded range
+        matters: if the crashed epoch was truncated by the then-current
+        source max and new LSNs accrued before restart, the recomputed
+        slice bound would be wider than what was actually applied —
+        finalizing with it would advance the watermark past rows that
+        were never merged (permanent loss). After each epoch the loop
+        therefore re-reads the watermark from the finalized manifest
+        rather than trusting its own recomputed bound.
         The lake-table path (``run``) additionally stages the delta for
         per-bucket footer lineage — a LakeTable specialization this
         generic loop does not assume.
@@ -378,7 +386,10 @@ class CdcEngine:
             results.append(
                 self.apply_epoch_warehouse(warehouse, changes, epoch, lsn_range=(hi_water, hi))
             )
-            hi_water, epoch = hi, epoch + 1
+            # The manifest (possibly healed from the backend ledger) is
+            # the truth about what was applied — never the loop's own
+            # recomputed bound.
+            hi_water, epoch = self.checkpoints.high_water_lsn(), epoch + 1
         return results
 
     def apply_epoch_warehouse(
@@ -407,14 +418,26 @@ class CdcEngine:
             else project_columns(deduped, schema, keep=envelope)
         )
         upserts, deletes = split_ops(projected)
+        if lsn_range is None:
+            row = changes.agg(F.min("lsn"), F.max("lsn")).first()
+            lsn_range = (int(row[0] or 0), int(row[1] or 0))
         res = warehouse.merge(
             upserts.drop("lsn", "schema_ver"),
             delete_keys=deletes.select(*self.key_cols),
             epoch_id=epoch,
+            lsn_range=lsn_range,
         )
-        if lsn_range is None:
-            row = changes.agg(F.min("lsn"), F.max("lsn")).first()
-            lsn_range = (int(row[0] or 0), int(row[1] or 0))
+        if res.skipped:
+            # Backend-ledger hit: the epoch already applied, under a
+            # possibly NARROWER lsn range than the recomputed slice (a
+            # crash between merge and finalize, with the source gaining
+            # LSNs before restart). Finalize the manifest from the
+            # RECORDED range so the watermark never advances past rows
+            # that were not applied — the loop then re-slices the gap
+            # into the next epoch.
+            recorded = warehouse.epoch_lsn_range(epoch)
+            if recorded is not None:
+                lsn_range = recorded
         manifest = {
             "epoch": epoch,
             "offsets": {"all": {"max_lsn": lsn_range[1], "rows": res.rows_written}},

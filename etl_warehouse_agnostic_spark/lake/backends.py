@@ -6,30 +6,44 @@ Snowflake through a config file + connection-string factory
 every extractor talks to ``get_connection_string()`` instead of a
 concrete engine. This module is the Spark-native analog: one
 ``WarehouseBackend`` contract (merge / overwrite / read / epoch
-idempotence), two real implementations, and a config-driven factory.
+idempotence + an applied-lsn-range ledger), THREE real
+implementations, and a config-driven factory.
 
 - :class:`LakeBackend` — the repo's snapshot-committed bucketed
   ``LakeTable`` (Iceberg-shaped copy-on-write parquet).
 - :class:`DuckBackend` — an embedded SQL warehouse (DuckDB file),
-  standing in for the reference's Postgres/ClickHouse targets: the
-  MERGE is executed *by the warehouse* in one transaction
-  (DELETE matched keys + INSERT the deduped delta — exactly what
-  MERGE compiles to for an upsert-all pattern), with an ``_epochs``
-  ledger making replayed epochs no-ops. On a real deployment the
-  same class shape fronts Postgres over JDBC: only ``_connect`` and
-  the bulk-transfer step change.
+  standing in for the reference's ClickHouse/Snowflake targets: the
+  MERGE is executed *by the warehouse* in one transaction.
+- :class:`SqliteBackend` — a second, genuinely different embedded SQL
+  engine behind a DB-API connection (the Postgres/JDBC class): same
+  contract, bulk transfer through a bounded-batch loader.
 
-Scale note: Spark does the heavy lifting (scan, dedup, LWW collapse);
-the warehouse applies only the per-epoch DELTA. The Spark→warehouse
-transfer here is Arrow-batched (``toPandas`` on the deduped delta,
-which is epoch-bounded, NOT table-sized); on a cluster this step is
-the JDBC/COPY bulk path with the same O(delta) volume.
+Scale design — the Spark→warehouse transfer never rides the driver:
+Spark writes the deduped, epoch-bounded delta as PARQUET
+(executor-parallel, to what would be shared/object storage on a
+cluster) and the warehouse bulk-ingests those files inside the same
+transaction — DuckDB via ``read_parquet`` directly; a real Postgres
+via ``COPY`` of the same files. ``read()`` is the mirror image: the
+warehouse exports parquet, Spark scans it in parallel. No
+``toPandas``/``collect`` on any warehouse data path (enforced by
+pytest). SQLite alone cannot ingest parquet natively, so its loader
+streams Arrow record batches of bounded size through ``executemany``
+— memory O(batch), never O(delta); on Postgres that loop IS the COPY.
+
+Exactly-once: every backend keeps an ``_epochs`` ledger
+(epoch id → rows, applied lsn range). A replayed epoch id
+short-circuits to a skipped no-op BEFORE any mutation, and the
+recorded lsn range lets the engine heal a crash between merge and
+manifest-finalize without ever advancing the watermark past rows that
+were not applied (see ``CdcEngine.apply_epoch_warehouse``).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Any, Protocol
+import shutil
+import uuid
+from typing import Any, Iterator, Protocol
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -45,13 +59,34 @@ class WarehouseBackend(Protocol):
         upserts: DataFrame,
         delete_keys: DataFrame | None = None,
         epoch_id: int | None = None,
+        lsn_range: tuple[int, int] | None = None,
     ) -> MergeResult: ...
 
-    def overwrite(self, df: DataFrame, epoch_id: int | None = None) -> MergeResult: ...
+    def overwrite(
+        self,
+        df: DataFrame,
+        epoch_id: int | None = None,
+        lsn_range: tuple[int, int] | None = None,
+    ) -> MergeResult: ...
 
     def read(self) -> DataFrame: ...
 
     def committed_epochs(self) -> list[int]: ...
+
+    def epoch_lsn_range(self, epoch_id: int) -> tuple[int, int] | None: ...
+
+
+def _export_delta(df: DataFrame, schema: T.StructType, out_dir: str) -> list[str]:
+    """Executor-parallel hand-off: Spark writes the epoch-bounded delta
+    as parquet (on a cluster: shared/object storage) and returns the
+    data files. The driver never materializes a row."""
+    cols = [f.name for f in schema.fields if f.name in df.columns]
+    df.select(*cols).write.mode("overwrite").parquet(out_dir)
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
 
 
 class LakeBackend:
@@ -71,10 +106,13 @@ class LakeBackend:
     ) -> "LakeBackend":
         return cls(LakeTable.create(spark, path, schema, key_cols, **kw))
 
-    def merge(self, upserts, delete_keys=None, epoch_id=None) -> MergeResult:
-        return self.table.merge(upserts, delete_keys=delete_keys, epoch_id=epoch_id)
+    def merge(self, upserts, delete_keys=None, epoch_id=None, lsn_range=None) -> MergeResult:
+        extra = {"lsn_range": list(lsn_range)} if lsn_range is not None else None
+        return self.table.merge(
+            upserts, delete_keys=delete_keys, epoch_id=epoch_id, extra_summary=extra
+        )
 
-    def overwrite(self, df, epoch_id=None) -> MergeResult:
+    def overwrite(self, df, epoch_id=None, lsn_range=None) -> MergeResult:
         return self.table.overwrite(df, epoch_id=epoch_id)
 
     def read(self) -> DataFrame:
@@ -82,6 +120,18 @@ class LakeBackend:
 
     def committed_epochs(self) -> list[int]:
         return self.table.committed_epochs()
+
+    def epoch_lsn_range(self, epoch_id: int) -> tuple[int, int] | None:
+        snap = self.table.epoch_snapshot(epoch_id)
+        if snap is None:
+            return None
+        rng = snap["summary"].get("lsn_range")
+        if rng is None:
+            # merge committed via the lake tail loop: the manifest rides
+            # in the snapshot summary and carries lineage.lsn_range
+            manifest = snap["summary"].get("manifest")
+            rng = manifest and manifest.get("lineage", {}).get("lsn_range")
+        return (int(rng[0]), int(rng[1])) if rng else None
 
     def evolve_schema(self, new_columns) -> T.StructType:
         return self.table.evolve_schema(new_columns)
@@ -103,15 +153,35 @@ _SPARK_TO_DUCK = {
     "date": "DATE",
 }
 
+_EPOCHS_DDL = (
+    "CREATE TABLE IF NOT EXISTS _epochs (epoch_id BIGINT PRIMARY KEY, "
+    "rows_written BIGINT, lsn_lo BIGINT, lsn_hi BIGINT)"
+)
+
+
+
+def _duck_files_literal(files: list[str]) -> str:
+    """SQL list literal for read_parquet (CREATE VIEW cannot be a
+    prepared statement); paths are repo-generated but quoted anyway."""
+    quoted = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+    return f"[{quoted}]"
+
 
 class DuckBackend:
-    """Embedded-SQL warehouse backend (Postgres/ClickHouse stand-in).
+    """Embedded-SQL warehouse backend (ClickHouse/Snowflake stand-in).
 
     MERGE semantics: within ONE transaction, delete the target rows
     whose key appears in the delta (upserts ∪ deletes), insert the
-    upsert rows, record the epoch. A replayed epoch id short-circuits
-    to a skipped no-op BEFORE any mutation — the same exactly-once
-    contract LakeTable implements with snapshot summaries.
+    upsert rows, record the epoch + its applied lsn range. A replayed
+    epoch id short-circuits to a skipped no-op BEFORE any mutation —
+    the same exactly-once contract LakeTable implements with snapshot
+    summaries.
+
+    Bulk transfer is file-based both ways: Spark exports the delta as
+    parquet (executor-parallel) and DuckDB ingests it with
+    ``read_parquet`` inside the transaction; ``read()`` has DuckDB
+    ``COPY`` the table to parquet and Spark scan it in parallel. The
+    delta/export never touches the driver as rows.
     """
 
     def __init__(self, db_path: str, table_name: str = "target"):
@@ -119,6 +189,7 @@ class DuckBackend:
 
         self.db_path = db_path
         self.table_name = table_name
+        self.spill_dir = db_path + ".spill"
         self._con = duckdb.connect(db_path)
         self._spark: SparkSession | None = None
         self._schema: T.StructType | None = None
@@ -142,19 +213,8 @@ class DuckBackend:
             f'"{f.name}" {_SPARK_TO_DUCK[f.dataType.simpleString()]}' for f in schema.fields
         )
         b._con.execute(f"CREATE TABLE IF NOT EXISTS {b.table_name} ({cols})")
-        b._con.execute(
-            "CREATE TABLE IF NOT EXISTS _epochs (epoch_id BIGINT PRIMARY KEY, "
-            "rows_written BIGINT, committed_at TIMESTAMP DEFAULT now())"
-        )
+        b._con.execute(_EPOCHS_DDL)
         return b
-
-    # -- helpers ------------------------------------------------------
-
-    def _delta_frame(self, df: DataFrame):
-        """Epoch-bounded delta → pandas via Arrow (the JDBC/COPY bulk
-        path on a real warehouse; O(delta), never O(table))."""
-        cols = [f.name for f in self._schema.fields if f.name in df.columns]
-        return df.select(*cols).toPandas()
 
     @property
     def schema(self) -> T.StructType:
@@ -188,72 +248,391 @@ class DuckBackend:
     def committed_epochs(self) -> list[int]:
         return [r[0] for r in self._con.execute("SELECT epoch_id FROM _epochs ORDER BY 1").fetchall()]
 
+    def epoch_lsn_range(self, epoch_id: int) -> tuple[int, int] | None:
+        r = self._con.execute(
+            "SELECT lsn_lo, lsn_hi FROM _epochs WHERE epoch_id = ?", [epoch_id]
+        ).fetchone()
+        if r is None or r[1] is None:
+            return None
+        return (int(r[0] or 0), int(r[1]))
+
     # -- contract -----------------------------------------------------
 
-    def merge(self, upserts, delete_keys=None, epoch_id=None) -> MergeResult:
+    def _spill(self, tag: str) -> str:
+        return os.path.join(self.spill_dir, f"{tag}-{uuid.uuid4().hex[:8]}")
+
+    def merge(self, upserts, delete_keys=None, epoch_id=None, lsn_range=None) -> MergeResult:
         if epoch_id is not None and self.epoch_committed(epoch_id):
             return MergeResult(0, epoch_id, 0, 0, 0, skipped=True)
-        pdf = self._delta_frame(upserts)
-        t = self.table_name
-        key_eq = " AND ".join(f'{t}."{k}" = d."{k}"' for k in self._keys)
-        self._con.execute("BEGIN TRANSACTION")
+        up_dir = self._spill("up")
+        dk_dir = self._spill("dk") if delete_keys is not None else None
         try:
-            self._con.register("_delta", pdf)
-            self._con.execute(f"DELETE FROM {t} USING _delta d WHERE {key_eq}")
-            if delete_keys is not None:
-                dpdf = delete_keys.select(*self._keys).toPandas()
-                self._con.register("_dkeys", dpdf)
-                self._con.execute(f"DELETE FROM {t} USING _dkeys d WHERE {key_eq}")
-            insert_cols = ", ".join(f'"{c}"' for c in pdf.columns)
-            self._con.execute(
-                f"INSERT INTO {self.table_name} ({insert_cols}) SELECT {insert_cols} FROM _delta"
+            up_files = _export_delta(upserts, self._schema, up_dir)
+            dk_files = (
+                _export_delta(delete_keys.select(*self._keys),
+                              T.StructType([self._schema[k] for k in self._keys]),
+                              dk_dir)
+                if dk_dir is not None else []
             )
-            if epoch_id is not None:
-                self._con.execute(
-                    "INSERT INTO _epochs (epoch_id, rows_written) VALUES (?, ?)",
-                    [epoch_id, len(pdf)],
-                )
-            self._con.execute("COMMIT")
-        except Exception:
-            self._con.execute("ROLLBACK")
-            raise
-        return MergeResult(0, epoch_id, len(pdf), 0, 0)
+            t = self.table_name
+            key_eq = " AND ".join(f'{t}."{k}" = d."{k}"' for k in self._keys)
+            self._con.execute("BEGIN TRANSACTION")
+            try:
+                rows = 0
+                if up_files:
+                    self._con.execute(
+                        "CREATE OR REPLACE TEMP VIEW _delta AS SELECT * "
+                        f"FROM read_parquet({_duck_files_literal(up_files)})"
+                    )
+                    self._con.execute(f"DELETE FROM {t} USING _delta d WHERE {key_eq}")
+                    cols = [
+                        r[0] for r in
+                        self._con.execute("DESCRIBE _delta").fetchall()
+                    ]
+                    insert_cols = ", ".join(f'"{c}"' for c in cols)
+                    rows = self._con.execute(
+                        f"INSERT INTO {t} ({insert_cols}) SELECT {insert_cols} FROM _delta"
+                    ).fetchone()[0]
+                if dk_files:
+                    self._con.execute(
+                        "CREATE OR REPLACE TEMP VIEW _dkeys AS SELECT * "
+                        f"FROM read_parquet({_duck_files_literal(dk_files)})"
+                    )
+                    self._con.execute(f"DELETE FROM {t} USING _dkeys d WHERE {key_eq}")
+                if epoch_id is not None:
+                    lo, hi = lsn_range if lsn_range is not None else (None, None)
+                    self._con.execute(
+                        "INSERT INTO _epochs (epoch_id, rows_written, lsn_lo, lsn_hi) "
+                        "VALUES (?, ?, ?, ?)",
+                        [epoch_id, rows, lo, hi],
+                    )
+                self._con.execute("COMMIT")
+            except Exception:
+                self._con.execute("ROLLBACK")
+                raise
+            return MergeResult(0, epoch_id, rows, 0, 0)
+        finally:
+            shutil.rmtree(up_dir, ignore_errors=True)
+            if dk_dir is not None:
+                shutil.rmtree(dk_dir, ignore_errors=True)
 
-    def overwrite(self, df, epoch_id=None) -> MergeResult:
-        pdf = self._delta_frame(df)
-        self._con.execute("BEGIN TRANSACTION")
+    def overwrite(self, df, epoch_id=None, lsn_range=None) -> MergeResult:
+        # Same epoch idempotence as merge: the guard runs BEFORE any
+        # mutation so a replayed overwrite is a clean skipped no-op, not
+        # a delete-then-PK-conflict rollback.
+        if epoch_id is not None and self.epoch_committed(epoch_id):
+            return MergeResult(0, epoch_id, 0, 0, 0, skipped=True)
+        full_dir = self._spill("full")
         try:
-            self._con.register("_full", pdf)
-            self._con.execute(f"DELETE FROM {self.table_name}")
-            insert_cols = ", ".join(f'"{c}"' for c in pdf.columns)
-            self._con.execute(
-                f"INSERT INTO {self.table_name} ({insert_cols}) SELECT {insert_cols} FROM _full"
-            )
-            if epoch_id is not None:
-                self._con.execute(
-                    "INSERT INTO _epochs (epoch_id, rows_written) VALUES (?, ?)",
-                    [epoch_id, len(pdf)],
-                )
-            self._con.execute("COMMIT")
-        except Exception:
-            self._con.execute("ROLLBACK")
-            raise
-        return MergeResult(0, epoch_id, len(pdf), 0, 0)
+            files = _export_delta(df, self._schema, full_dir)
+            t = self.table_name
+            self._con.execute("BEGIN TRANSACTION")
+            try:
+                self._con.execute(f"DELETE FROM {t}")
+                rows = 0
+                if files:
+                    self._con.execute(
+                        "CREATE OR REPLACE TEMP VIEW _full AS SELECT * "
+                        f"FROM read_parquet({_duck_files_literal(files)})"
+                    )
+                    cols = [
+                        r[0] for r in self._con.execute("DESCRIBE _full").fetchall()
+                    ]
+                    insert_cols = ", ".join(f'"{c}"' for c in cols)
+                    rows = self._con.execute(
+                        f"INSERT INTO {t} ({insert_cols}) SELECT {insert_cols} FROM _full"
+                    ).fetchone()[0]
+                if epoch_id is not None:
+                    lo, hi = lsn_range if lsn_range is not None else (None, None)
+                    self._con.execute(
+                        "INSERT INTO _epochs (epoch_id, rows_written, lsn_lo, lsn_hi) "
+                        "VALUES (?, ?, ?, ?)",
+                        [epoch_id, rows, lo, hi],
+                    )
+                self._con.execute("COMMIT")
+            except Exception:
+                self._con.execute("ROLLBACK")
+                raise
+            return MergeResult(0, epoch_id, rows, 0, 0)
+        finally:
+            shutil.rmtree(full_dir, ignore_errors=True)
 
     def read(self) -> DataFrame:
-        """Whole-table read back into Spark. Embedded-file scope only:
-        this materializes via the driver, which is fine for an embedded
-        warehouse file but NOT the cluster path — fronting a real
-        Postgres/ClickHouse, this method is ``spark.read.jdbc`` with
-        ``partitionColumn``/``numPartitions`` (parallel, pushed-down),
-        same contract, no driver bottleneck."""
-        pdf = self._con.execute(f"SELECT * FROM {self.table_name}").df()
-        if len(pdf) == 0:
-            return self._spark.createDataFrame([], self._schema)
-        return self._spark.createDataFrame(pdf, schema=self._schema)
+        """Parallel read-back: the warehouse exports the table as
+        parquet, Spark scans the files — the file-based mirror of the
+        ingest path (on a real warehouse: ``COPY ... TO`` object
+        storage, or ``spark.read.jdbc`` with ``partitionColumn``). The
+        driver never holds rows."""
+        out_dir = self._spill("read")
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, "table.parquet")
+        self._con.execute(
+            f"COPY (SELECT * FROM {self.table_name}) TO '{out}' (FORMAT PARQUET)"
+        )
+        return self._spark.read.schema(self._schema).parquet(out)
 
     def close(self) -> None:
         self._con.close()
+        shutil.rmtree(self.spill_dir, ignore_errors=True)
+
+
+def _pa_to_py(column, spark_type: T.DataType):
+    """Arrow column → python list in the warehouse's storage encoding
+    (timestamps as epoch-microsecond ints — portable across DB-API
+    engines with no native timestamp type)."""
+    import pyarrow as pa
+
+    if isinstance(spark_type, (T.TimestampType, T.TimestampNTZType)):
+        # normalize to µs first (keeping any tz label so the cast is
+        # legal): a timestamp[ns] column cast straight to int64 would
+        # yield nanoseconds and corrupt the round-trip
+        us = pa.timestamp("us", tz=getattr(column.type, "tz", None))
+        return column.cast(us).cast(pa.int64()).to_pylist()
+    return column.to_pylist()
+
+
+class SqliteBackend:
+    """DB-API warehouse backend over a second, genuinely different
+    embedded engine (stdlib ``sqlite3``) — the stand-in for the
+    reference's Postgres target (config/warehouse_config.py:25-45):
+    every statement flows through a DB-API connection exactly as it
+    would through psycopg/JDBC.
+
+    Bulk transfer: Spark exports the delta as parquet
+    (executor-parallel, shared storage on a cluster); the loader then
+    streams Arrow record batches of ≤ ``batch_rows`` rows through
+    ``executemany`` — memory O(batch), never O(delta). On a real
+    Postgres this loop is replaced by ``COPY FROM`` of the same files;
+    SQLite has no bulk file ingest, so the bounded batch loop IS its
+    COPY. Timestamps are stored as epoch-microsecond INTEGERs (SQLite
+    has no timestamp type) and restored on ``read()``.
+    """
+
+    def __init__(self, db_path: str, table_name: str = "target", batch_rows: int = 65536):
+        import sqlite3
+
+        self.db_path = db_path
+        self.table_name = table_name
+        self.batch_rows = batch_rows
+        self.spill_dir = db_path + ".spill"
+        # autocommit mode: transactions are managed explicitly with
+        # BEGIN/COMMIT (python sqlite3's implicit transaction start
+        # would collide with our explicit BEGIN)
+        self._con = sqlite3.connect(db_path, isolation_level=None)
+        self._spark: SparkSession | None = None
+        self._schema: T.StructType | None = None
+        self._keys: list[str] = []
+
+    @staticmethod
+    def _sql_type(dt: T.DataType) -> str:
+        s = dt.simpleString()
+        if s in ("string", "date"):
+            return "TEXT"
+        if s in ("int", "bigint", "boolean", "timestamp", "timestamp_ntz"):
+            return "INTEGER"
+        if s in ("double", "float"):
+            return "REAL"
+        raise ValueError(f"unsupported sqlite column type: {s}")
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        **_: Any,
+    ) -> "SqliteBackend":
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        b = cls(path)
+        b._spark = spark
+        b._schema = schema
+        b._keys = list(key_cols)
+        cols = ", ".join(f'"{f.name}" {cls._sql_type(f.dataType)}' for f in schema.fields)
+        b._con.execute(f"CREATE TABLE IF NOT EXISTS {b.table_name} ({cols})")
+        b._con.execute(
+            "CREATE TABLE IF NOT EXISTS _epochs (epoch_id INTEGER PRIMARY KEY, "
+            "rows_written INTEGER, lsn_lo INTEGER, lsn_hi INTEGER)"
+        )
+        return b
+
+    @property
+    def schema(self) -> T.StructType:
+        return self._schema
+
+    def evolve_schema(self, new_columns) -> T.StructType:
+        fields = new_columns.fields if isinstance(new_columns, T.StructType) else list(new_columns)
+        cur_names = set(self._schema.names)
+        added = [f for f in fields if f.name not in cur_names]
+        for f in added:
+            self._con.execute(
+                f'ALTER TABLE {self.table_name} ADD COLUMN '
+                f'"{f.name}" {self._sql_type(f.dataType)}'
+            )
+        if added:
+            self._schema = T.StructType(list(self._schema.fields) + added)
+        return self._schema
+
+    def epoch_committed(self, epoch_id: int) -> bool:
+        r = self._con.execute(
+            "SELECT count(*) FROM _epochs WHERE epoch_id = ?", [epoch_id]
+        ).fetchone()
+        return bool(r[0])
+
+    def committed_epochs(self) -> list[int]:
+        return [r[0] for r in self._con.execute("SELECT epoch_id FROM _epochs ORDER BY 1")]
+
+    def epoch_lsn_range(self, epoch_id: int) -> tuple[int, int] | None:
+        r = self._con.execute(
+            "SELECT lsn_lo, lsn_hi FROM _epochs WHERE epoch_id = ?", [epoch_id]
+        ).fetchone()
+        if r is None or r[1] is None:
+            return None
+        return (int(r[0] or 0), int(r[1]))
+
+    # -- bounded-batch loader ----------------------------------------
+
+    def _iter_batches(self, files: list[str]) -> Iterator[tuple[list[str], list[tuple]]]:
+        """Stream (columns, rows) from exported parquet in bounded
+        Arrow batches — the driver holds ≤ batch_rows rows at a time."""
+        import pyarrow.parquet as pq
+
+        for path in files:
+            pf = pq.ParquetFile(path)
+            for batch in pf.iter_batches(batch_size=self.batch_rows):
+                cols = batch.schema.names
+                series = [
+                    _pa_to_py(batch.column(i), self._schema[c].dataType)
+                    for i, c in enumerate(cols)
+                ]
+                yield cols, list(zip(*series))
+
+    def _spill(self, tag: str) -> str:
+        return os.path.join(self.spill_dir, f"{tag}-{uuid.uuid4().hex[:8]}")
+
+    def merge(self, upserts, delete_keys=None, epoch_id=None, lsn_range=None) -> MergeResult:
+        if epoch_id is not None and self.epoch_committed(epoch_id):
+            return MergeResult(0, epoch_id, 0, 0, 0, skipped=True)
+        up_dir = self._spill("up")
+        dk_dir = self._spill("dk") if delete_keys is not None else None
+        try:
+            up_files = _export_delta(upserts, self._schema, up_dir)
+            dk_files = (
+                _export_delta(delete_keys.select(*self._keys),
+                              T.StructType([self._schema[k] for k in self._keys]),
+                              dk_dir)
+                if dk_dir is not None else []
+            )
+            t = self.table_name
+            key_pred = " AND ".join(f'"{k}" = ?' for k in self._keys)
+            cur = self._con.cursor()
+            try:
+                cur.execute("BEGIN")
+                rows = 0
+                for cols, batch in self._iter_batches(up_files):
+                    key_idx = [cols.index(k) for k in self._keys]
+                    cur.executemany(
+                        f"DELETE FROM {t} WHERE {key_pred}",
+                        [tuple(r[i] for i in key_idx) for r in batch],
+                    )
+                    collist = ", ".join(f'"{c}"' for c in cols)
+                    ph = ", ".join("?" for _ in cols)
+                    cur.executemany(f"INSERT INTO {t} ({collist}) VALUES ({ph})", batch)
+                    rows += len(batch)
+                for cols, batch in self._iter_batches(dk_files):
+                    key_idx = [cols.index(k) for k in self._keys]
+                    cur.executemany(
+                        f"DELETE FROM {t} WHERE {key_pred}",
+                        [tuple(r[i] for i in key_idx) for r in batch],
+                    )
+                if epoch_id is not None:
+                    lo, hi = lsn_range if lsn_range is not None else (None, None)
+                    cur.execute(
+                        "INSERT INTO _epochs (epoch_id, rows_written, lsn_lo, lsn_hi) "
+                        "VALUES (?, ?, ?, ?)",
+                        [epoch_id, rows, lo, hi],
+                    )
+                cur.execute("COMMIT")
+            except Exception:
+                cur.execute("ROLLBACK")
+                raise
+            return MergeResult(0, epoch_id, rows, 0, 0)
+        finally:
+            shutil.rmtree(up_dir, ignore_errors=True)
+            if dk_dir is not None:
+                shutil.rmtree(dk_dir, ignore_errors=True)
+
+    def overwrite(self, df, epoch_id=None, lsn_range=None) -> MergeResult:
+        if epoch_id is not None and self.epoch_committed(epoch_id):
+            return MergeResult(0, epoch_id, 0, 0, 0, skipped=True)
+        full_dir = self._spill("full")
+        try:
+            files = _export_delta(df, self._schema, full_dir)
+            t = self.table_name
+            cur = self._con.cursor()
+            try:
+                cur.execute("BEGIN")
+                cur.execute(f"DELETE FROM {t}")
+                rows = 0
+                for cols, batch in self._iter_batches(files):
+                    collist = ", ".join(f'"{c}"' for c in cols)
+                    ph = ", ".join("?" for _ in cols)
+                    cur.executemany(f"INSERT INTO {t} ({collist}) VALUES ({ph})", batch)
+                    rows += len(batch)
+                if epoch_id is not None:
+                    lo, hi = lsn_range if lsn_range is not None else (None, None)
+                    cur.execute(
+                        "INSERT INTO _epochs (epoch_id, rows_written, lsn_lo, lsn_hi) "
+                        "VALUES (?, ?, ?, ?)",
+                        [epoch_id, rows, lo, hi],
+                    )
+                cur.execute("COMMIT")
+            except Exception:
+                cur.execute("ROLLBACK")
+                raise
+            return MergeResult(0, epoch_id, rows, 0, 0)
+        finally:
+            shutil.rmtree(full_dir, ignore_errors=True)
+
+    def read(self) -> DataFrame:
+        """Export the table to parquet in bounded batches (cursor →
+        Arrow ``ParquetWriter``), then Spark scans the files in
+        parallel. Driver memory stays O(batch)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_dir = self._spill("read")
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, "table.parquet")
+        arrow_schema = to_arrow_schema(self._schema)
+        names = [f.name for f in self._schema.fields]
+        collist = ", ".join(f'"{c}"' for c in names)
+        cur = self._con.execute(f"SELECT {collist} FROM {self.table_name}")
+        with pq.ParquetWriter(out, arrow_schema) as w:
+            while True:
+                rows = cur.fetchmany(self.batch_rows)
+                if not rows:
+                    break
+                cols = list(zip(*rows))
+                arrays = []
+                for i, f in enumerate(self._schema.fields):
+                    target = arrow_schema.field(i).type
+                    if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+                        arrays.append(pa.array(cols[i], type=pa.int64()).cast(target))
+                    elif isinstance(f.dataType, T.BooleanType):
+                        arrays.append(
+                            pa.array([None if v is None else bool(v) for v in cols[i]],
+                                     type=target)
+                        )
+                    else:
+                        arrays.append(pa.array(cols[i], type=target))
+                w.write_table(pa.Table.from_arrays(arrays, schema=arrow_schema))
+        return self._spark.read.schema(self._schema).parquet(out)
+
+    def close(self) -> None:
+        self._con.close()
+        shutil.rmtree(self.spill_dir, ignore_errors=True)
 
 
 def make_warehouse(
@@ -263,8 +642,9 @@ def make_warehouse(
     key_cols: list[str],
 ):
     """Config-driven backend switch — the reference's
-    ``get_connection_string``/``switch_warehouse.sh`` analog. Config:
-    ``{"type": "lake"|"duckdb", "path": ..., **backend kwargs}``."""
+    ``get_connection_string``/``switch_warehouse.sh`` analog (three
+    engines behind one flag, scripts/switch_warehouse.sh:1-66). Config:
+    ``{"type": "lake"|"duckdb"|"sqlite", "path": ..., **backend kwargs}``."""
     wtype = config.get("type", "lake")
     path = config["path"]
     if wtype == "lake":
@@ -272,4 +652,6 @@ def make_warehouse(
         return LakeBackend.create(spark, path, schema, key_cols, **kw)
     if wtype == "duckdb":
         return DuckBackend.create(spark, path, schema, key_cols)
+    if wtype == "sqlite":
+        return SqliteBackend.create(spark, path, schema, key_cols)
     raise ValueError(f"unsupported warehouse type: {wtype!r}")

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -252,8 +253,30 @@ class LakeTable:
         bucket subset and/or (with a time partition_spec) to an
         INCLUSIVE transform-value range, e.g.
         ``day_range=("2024-01-02", "2024-01-03")`` — a day-bounded scan
-        opens only that window's files, never the whole table."""
+        opens only that window's files, never the whole table.
+
+        ``day_range`` is only meaningful against a time-partitioned
+        layout and its bounds must be spelled in the spec's granule
+        format: comparing a ``yyyy-MM-dd`` bound against ``yyyy-MM``
+        path values would silently mis-prune lexicographically, and a
+        range on an unpartitioned table would silently return the whole
+        table — both are errors, not best-effort filters."""
         snap = self.snapshot(version)
+        if day_range is not None:
+            spec = snap.get("partition_spec")
+            if spec is None:
+                raise ValueError(
+                    "day_range requires a time partition_spec; this table has none "
+                    "— use a plain .where() filter instead"
+                )
+            pat = {"day": r"^\d{4}-\d{2}-\d{2}$", "month": r"^\d{4}-\d{2}$"}[spec["transform"]]
+            for bound in day_range:
+                if not re.match(pat, str(bound)):
+                    raise ValueError(
+                        f"day_range bound {bound!r} does not match the table's "
+                        f"'{spec['transform']}' granule format "
+                        f"({_GRANULE_FMT[spec['transform']]})"
+                    )
         return self._read_files(snap, buckets, day_range).drop(_BUCKET)
 
     # ---------------- write paths ----------------
@@ -410,8 +433,12 @@ class LakeTable:
 
     def overwrite(self, df: DataFrame, epoch_id: int | None = None) -> MergeResult:
         """Full snapshot replace (bootstrap / full refresh — reference
-        analog extractors/google_sheets/extractor.py:370-377)."""
+        analog extractors/google_sheets/extractor.py:370-377). Same
+        epoch-id idempotence as merge: a replayed epoch short-circuits
+        to a skipped no-op before any data is rewritten."""
         cur = self.snapshot()
+        if epoch_id is not None and epoch_id in cur.get("committed_epochs", []):
+            return MergeResult(cur["version"], epoch_id, 0, 0, 0, skipped=True)
         schema = T.StructType.fromJson(cur["schema"])
         data = self._with_bucket(self._align(df, schema))
         tag = f"e{cur['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"

@@ -100,15 +100,21 @@ class MultiSourceRunner:
 
     def _run_one(self, name: str, max_epochs: int | None) -> SourceRun:
         spec = self.specs[name]
-        store = self.manifests(name)
-        if spec.refresh_interval_hours is not None and should_skip_refresh(
-            store, spec.refresh_interval_hours
-        ):
-            return SourceRun(name, "skipped_fresh")
-        eng = CdcEngine(
-            self.spark, spec.table, store, source_name=name, **spec.engine_kwargs
-        )
+        # The WHOLE per-source pipeline is fallible — a corrupt manifest
+        # checksum surfaces in should_skip_refresh, bad engine kwargs in
+        # construction — and every failure mode must become a recorded
+        # 'failed' run that gates dependents, never an exception that
+        # aborts run_all (or re-raises through pool.map in parallel mode)
+        # while siblings are mid-flight.
         try:
+            store = self.manifests(name)
+            if spec.refresh_interval_hours is not None and should_skip_refresh(
+                store, spec.refresh_interval_hours
+            ):
+                return SourceRun(name, "skipped_fresh")
+            eng = CdcEngine(
+                self.spark, spec.table, store, source_name=name, **spec.engine_kwargs
+            )
             results = eng.run(spec.source, epoch_size=spec.epoch_size,
                               max_epochs=max_epochs)
             return SourceRun(name, "ran", results=results)

@@ -191,3 +191,156 @@ def test_warehouse_loop_heals_crash_between_merge_and_manifest(spark, tmpdir_pat
     assert healed and healed[0].skipped  # ledger hit → no re-apply
     assert ck.is_finalized(last)
     assert _final_state(duck.read()) == state_before
+
+
+def test_three_backends_converge_to_identical_state(spark, tmpdir_path):
+    """All THREE config-switched engines (lake / duckdb / sqlite) must
+    reach the identical final state on the same stream — the
+    switch_warehouse.sh three-engine claim, proven state-equal."""
+    from etl_warehouse_agnostic_spark.lake.backends import SqliteBackend
+
+    chg = generate_changes(spark, 3000, n_convs=30, turns_per_conv=8, seed=23).localCheckpoint()
+    backends = {
+        t: make_warehouse(
+            spark,
+            {"type": t, "path": os.path.join(tmpdir_path, f"wh-{t}"),
+             **({"num_buckets": 4} if t == "lake" else {})},
+            TRANSCRIPTS_SCHEMA_V1, KEY_COLS,
+        )
+        for t in ("lake", "duckdb", "sqlite")
+    }
+    assert isinstance(backends["sqlite"], SqliteBackend)
+    for wh in backends.values():
+        _apply_epochs(wh, chg)
+    states = {t: _final_state(wh.read()) for t, wh in backends.items()}
+    assert states["lake"] == states["duckdb"] == states["sqlite"]
+    assert len(states["lake"]) > 0
+    assert all(wh.committed_epochs() == [1, 2, 3] for wh in backends.values())
+
+
+def test_sqlite_engine_tail_loop_with_evolution_and_replay(spark, tmpdir_path):
+    """The full engine tail loop against the DB-API backend: mid-stream
+    ALTER TABLE evolution, exactly-once manifests, replay no-op."""
+    from etl_warehouse_agnostic_spark.lake.backends import SqliteBackend
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+
+    chg = generate_changes(
+        spark, 3000, n_convs=30, turns_per_conv=8, seed=31, evolution_lsn=1500
+    ).localCheckpoint()
+    lite = SqliteBackend.create(
+        spark, os.path.join(tmpdir_path, "wh.sqlite"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    ck = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    eng = CdcEngine(spark, None, ck, num_salts=4)
+    results = eng.run_warehouse(lite, ChangeStreamSource(spark, df=chg), epoch_size=1200)
+    assert len(results) >= 2 and not any(r.skipped for r in results)
+    assert "tool" in lite.read().columns
+
+    # parity with the lake engine on the same stream
+    lake_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "lake"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=4
+    )
+    CdcEngine(spark, lake_t, ManifestStore(os.path.join(tmpdir_path, "ck-lake")),
+              num_salts=4).run(ChangeStreamSource(spark, df=chg), epoch_size=1200)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def state(df):
+        return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+    assert state(lite.read()) == state(lake_t.read())
+    assert eng.run_warehouse(lite, ChangeStreamSource(spark, df=chg), epoch_size=1200) == []
+
+
+def test_warehouse_path_never_materializes_rows_on_driver(spark, tmpdir_path, monkeypatch):
+    """The scale contract: the Spark→warehouse transfer is a parquet
+    hand-off ingested by the warehouse, and read() is the file-based
+    mirror — neither direction may pull rows through the driver. Any
+    toPandas()/toLocalIterator() on the warehouse data path fails this
+    test."""
+    from pyspark.sql import DataFrame
+
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+
+    chg = generate_changes(spark, 2000, n_convs=20, turns_per_conv=6, seed=41).localCheckpoint()
+
+    def _banned(self, *a, **k):
+        raise AssertionError("driver-side materialization on the warehouse path")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _banned)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", _banned)
+
+    for t in ("duckdb", "sqlite"):
+        wh = make_warehouse(
+            spark, {"type": t, "path": os.path.join(tmpdir_path, f"wh-{t}")},
+            TRANSCRIPTS_SCHEMA_V1, KEY_COLS,
+        )
+        ck = ManifestStore(os.path.join(tmpdir_path, f"ck-{t}"))
+        eng = CdcEngine(spark, None, ck, num_salts=4)
+        results = eng.run_warehouse(wh, ChangeStreamSource(spark, df=chg), epoch_size=900)
+        assert len(results) >= 2
+        assert wh.read().count() > 0  # read-back is also driver-free
+
+
+def test_warehouse_heal_of_truncated_epoch_does_not_lose_new_lsns(spark, tmpdir_path):
+    """The round-3 ADVICE medium defect: crash between warehouse MERGE
+    and manifest finalize on an epoch TRUNCATED by the then-current
+    source max, then the source accrues new LSNs before restart. The
+    heal must finalize from the ledger's RECORDED lsn range — never the
+    recomputed slice — so the (old_hi, new_hi] gap is re-sliced into a
+    later epoch instead of being silently skipped forever."""
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+
+    chg = generate_changes(spark, 2000, n_convs=20, turns_per_conv=6, seed=53).localCheckpoint()
+    old = chg.where(F.col("lsn") <= 1200).localCheckpoint()
+
+    duck = DuckBackend.create(
+        spark, os.path.join(tmpdir_path, "wh.duckdb"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    ck = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    eng = CdcEngine(spark, None, ck, num_salts=4)
+    # epoch 1: (0,1000]; epoch 2: (1000,1200] — truncated by source max
+    eng.run_warehouse(duck, ChangeStreamSource(spark, df=old), epoch_size=1000)
+    assert ck.high_water_lsn() == 1200
+    assert duck.epoch_lsn_range(2) == (1000, 1200)
+
+    # crash window: epoch 2 merged (ledger) but its manifest was lost
+    os.unlink(os.path.join(ck.path, "epoch=00000002.json"))
+
+    # restart against the GROWN source (lsns now reach 2000)
+    results = eng.run_warehouse(duck, ChangeStreamSource(spark, df=chg), epoch_size=1000)
+    healed = [r for r in results if r.epoch == 2]
+    assert healed and healed[0].skipped
+    # the healed manifest records the APPLIED range, not the recomputed one
+    assert ck.get(2)["lineage"]["lsn_range"] == [1000, 1200]
+    # and the gap (1200, 2000] was applied by a follow-up epoch
+    assert ck.high_water_lsn() == 2000
+
+    # ground truth: a fresh run over the full stream
+    duck2 = DuckBackend.create(
+        spark, os.path.join(tmpdir_path, "wh2.duckdb"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    CdcEngine(spark, None, ManifestStore(os.path.join(tmpdir_path, "ck2")),
+              num_salts=4).run_warehouse(duck2, ChangeStreamSource(spark, df=chg), epoch_size=1000)
+    assert _final_state(duck.read()) == _final_state(duck2.read())
+
+
+def test_overwrite_replay_is_skipped_noop_everywhere(spark, tmpdir_path):
+    """Epoch-idempotent overwrite on all three backends: replaying an
+    already-committed epoch id must short-circuit BEFORE any mutation
+    (no delete-then-PK-conflict, no duplicate epoch entry)."""
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hello", None), ("c2", 0, "user", "hi", None)],
+        TRANSCRIPTS_SCHEMA_V1,
+    )
+    df2 = spark.createDataFrame([("c9", 9, "user", "other", None)], TRANSCRIPTS_SCHEMA_V1)
+    for t in ("lake", "duckdb", "sqlite"):
+        wh = make_warehouse(
+            spark, {"type": t, "path": os.path.join(tmpdir_path, f"ow-{t}"),
+                    **({"num_buckets": 2} if t == "lake" else {})},
+            TRANSCRIPTS_SCHEMA_V1, KEY_COLS,
+        )
+        assert not wh.overwrite(df, epoch_id=7).skipped
+        res = wh.overwrite(df2, epoch_id=7)  # replay: must NOT apply df2
+        assert res.skipped, t
+        assert wh.committed_epochs().count(7) == 1, t
+        assert _final_state(wh.read()) == _final_state(df), t

@@ -198,3 +198,33 @@ def test_time_partition_day_range_equals_filter_property(spark, tmpdir_path):
             ).collect()
         )
         assert pruned == filtered, (lo, hi)
+
+
+def test_day_range_validation_rejects_misuse(spark, tmpdir_path):
+    """Round-3 ADVICE: day_range on an unpartitioned table (silent full
+    scan) or with bounds in the wrong granule format (silent lexical
+    mis-prune on a months(ts) table) must raise, not best-effort."""
+    import pytest
+
+    from etl_warehouse_agnostic_spark.schemas import KEY_COLS, TRANSCRIPTS_SCHEMA_V1
+
+    plain = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "plain"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=2
+    )
+    with pytest.raises(ValueError, match="partition_spec"):
+        plain.read(day_range=("2024-01-01", "2024-01-02"))
+
+    monthly = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "monthly"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS,
+        num_buckets=2, partition_spec={"col": "ts", "transform": "month"},
+    )
+    with pytest.raises(ValueError, match="granule format"):
+        monthly.read(day_range=("2024-01-01", "2024-01-02"))
+    monthly.read(day_range=("2024-01", "2024-02"))  # correct granule: fine
+
+    daily = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "daily"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS,
+        num_buckets=2, partition_spec={"col": "ts", "transform": "day"},
+    )
+    with pytest.raises(ValueError, match="granule format"):
+        daily.read(day_range=("2024-01", "2024-02"))

@@ -144,3 +144,35 @@ def test_parallel_level_execution_matches_serial(spark, tmpdir_path):
 
     for i in range(3):
         assert state(roots["serial"][i].table) == state(roots["parallel"][i].table)
+
+
+def test_corrupt_manifest_becomes_failed_run_not_exception(spark, tmpdir_path):
+    """Round-3 ADVICE: a per-source failure OUTSIDE eng.run — e.g. a
+    corrupt manifest checksum surfacing in the P8 refresh gate — must be
+    recorded as status='failed' and gate dependents, never abort
+    run_all."""
+    import json
+
+    chg = generate_changes(spark, 800, n_convs=8, turns_per_conv=4, seed=9).localCheckpoint()
+    specs = [
+        _mk(spark, tmpdir_path, "parent", chg),
+        _mk(spark, tmpdir_path, "child", chg, deps=["parent"]),
+    ]
+    specs[0].refresh_interval_hours = 24.0
+    ck_root = os.path.join(tmpdir_path, "ck")
+    runner = MultiSourceRunner(spark, specs, ck_root)
+    out1 = runner.run_all()
+    assert out1["parent"].status == "ran"
+
+    # corrupt the parent's newest manifest so the refresh gate raises
+    store = runner.manifests("parent")
+    last = store.last_epoch()
+    path = os.path.join(store.path, f"epoch={last:08d}.json")
+    doc = json.load(open(path))
+    doc["checksum"] = "0" * 32
+    os.unlink(path)
+    json.dump(doc, open(path, "w"))
+
+    out2 = MultiSourceRunner(spark, specs, ck_root).run_all()
+    assert out2["parent"].status == "failed" and "checksum" in out2["parent"].error
+    assert out2["child"].status == "skipped_dependency"
