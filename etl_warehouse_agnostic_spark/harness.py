@@ -322,15 +322,49 @@ def q_union_missing_columns(spark, sf_dir):
     return c.unionByName(s, allowMissingColumns=True)
 
 
-def q_metadata_stamping(spark, sf_dir):
-    """P5: lineage stamping (_source_system/_endpoint/_ingest_epoch)."""
-    chg = _changes(spark, sf_dir).where(F.col("lsn") <= 100)
-    return chg.select(
-        "lsn", "conv_id",
-        F.lit("events").alias("_source_system"),
-        F.lit("transcripts_changes").alias("_endpoint"),
-        F.lit(42).alias("_ingest_epoch"),
+def q_pipeline_health(spark, sf_dir):
+    """Operational health summary (the reference's
+    monitor_warehouse_health, airflow/dags/repsly_dag.py:1496-1705):
+    run the engine over the change stream in fixed 2000-LSN epochs,
+    then fold the checkpoint manifests into a per-epoch health frame —
+    throughput metrics, applied lsn range, and the invariant flags a
+    monitor alerts on (watermark monotone, counts consistent, commit
+    age within SLA). The oracle re-derives every metric column from
+    the same epoch boundaries in SQL and asserts the flags as
+    literals, so the driver hash fails iff the engine mis-reports its
+    own metrics or breaks a watermark/count invariant."""
+    from pyspark.sql import types as T
+
+    from etl_warehouse_agnostic_spark.engine import CdcEngine
+    from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
+    from etl_warehouse_agnostic_spark.lake.table import LakeTable
+    from etl_warehouse_agnostic_spark.operators.health import pipeline_health
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+
+    chg = _changes(spark, sf_dir).localCheckpoint()
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", chg.schema["ts"].dataType, True),
+        ]
     )
+    root = tempfile.mkdtemp(prefix="etlwa-health-")
+    try:
+        table = LakeTable.create(spark, os.path.join(root, "t"), schema, KEYS, num_buckets=8)
+        ck = ManifestStore(os.path.join(root, "ck"))
+        eng = CdcEngine(spark, table, ck, num_salts=8)
+        eng.run(ChangeStreamSource(spark, df=chg), epoch_size=2000)
+        health = pipeline_health(spark, ck, sla_hours=24.0)
+        return health.select(
+            "epoch", "rows_read", "rows_upserted", "rows_deleted",
+            "lsn_lo", "lsn_hi", "watermark_monotone", "counts_consistent",
+            "within_sla",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # ------------------------------------------------------- analytics/agg
@@ -835,13 +869,17 @@ def q_media_frame_sample(spark, sf_dir):
 def q_warehouse_parity(spark, sf_dir):
     """The warehouse-agnostic axis made real: the FULL engine tail loop
     (``CdcEngine.run_warehouse`` — watermark slices, LWW dedup,
-    exactly-once manifests) driving the config-switched SECOND backend
-    (embedded SQL warehouse, ``lake/backends.DuckBackend`` — the
-    reference's Postgres/ClickHouse stand-in,
-    config/warehouse_config.py:25-66), plus a resume-from-checkpoint
-    that must be a no-op. Final state must equal plain SQL LWW — i.e.
-    exactly what LakeTable reaches on the same stream
-    (cdc_engine_e2e's oracle)."""
+    exactly-once manifests) driving BOTH config-switched SQL backends
+    — the embedded warehouse (``DuckBackend``, ClickHouse/Snowflake
+    stand-in) and the DB-API engine (``SqliteBackend``, the
+    Postgres/JDBC class) — each through the executor-side parquet
+    hand-off (no driver materialization), each with a
+    resume-from-checkpoint that must be a no-op
+    (config/warehouse_config.py:25-66, scripts/switch_warehouse.sh:1-66).
+    Each backend's final state must equal plain SQL LWW — i.e. exactly
+    what LakeTable reaches on the same stream (cdc_engine_e2e's
+    oracle), tagged and unioned so one driver row proves both engines
+    AND their equality."""
     from pyspark.sql import types as T
 
     from etl_warehouse_agnostic_spark.lake.backends import make_warehouse
@@ -863,18 +901,25 @@ def q_warehouse_parity(spark, sf_dir):
         from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
         from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
 
-        wh = make_warehouse(
-            spark, {"type": "duckdb", "path": os.path.join(root, "wh.duckdb")},
-            schema, KEYS,
-        )
-        ck = ManifestStore(os.path.join(root, "ck"))
-        eng = CdcEngine(spark, None, ck, num_salts=8)
-        src = ChangeStreamSource(spark, df=chg)
-        results = eng.run_warehouse(wh, src, epoch_size=max(1000, n // 3))
-        assert results and not any(r.skipped for r in results)
-        # resume from checkpoint with nothing new — exactly-once no-op
-        assert eng.run_warehouse(wh, src, epoch_size=max(1000, n // 3)) == []
-        return wh.read().select("conv_id", "turn_idx", "role", "text").localCheckpoint()
+        outs = []
+        for wtype in ("duckdb", "sqlite"):
+            wh = make_warehouse(
+                spark, {"type": wtype, "path": os.path.join(root, f"wh-{wtype}")},
+                schema, KEYS,
+            )
+            ck = ManifestStore(os.path.join(root, f"ck-{wtype}"))
+            eng = CdcEngine(spark, None, ck, num_salts=8)
+            src = ChangeStreamSource(spark, df=chg)
+            results = eng.run_warehouse(wh, src, epoch_size=max(1000, n // 3))
+            assert results and not any(r.skipped for r in results)
+            # resume from checkpoint with nothing new — exactly-once no-op
+            assert eng.run_warehouse(wh, src, epoch_size=max(1000, n // 3)) == []
+            outs.append(
+                wh.read()
+                .select(F.lit(wtype).alias("backend"), "conv_id", "turn_idx", "role", "text")
+                .localCheckpoint()
+            )
+        return outs[0].unionByName(outs[1])
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -884,10 +929,12 @@ def q_silver_model(spark, sf_dir):
     ~25 chained scalar transforms in one projection — the end-to-end
     shape of the reference's curated models (territory split
     client_notes.sql:183-193, case-insensitive flag battery :197-213,
-    money/date casts bills.sql:103-107,219-247, toYYYYMM partitions).
-    Every primitive is the named operator from functions/scalars.py;
-    the whole chain stays in one WholeStageCodegen projection after the
-    dedup shuffle."""
+    money/date casts bills.sql:103-107,219-247, toYYYYMM partitions),
+    ending with the P5 lineage stamp
+    (_source_system/_endpoint/_ingest_epoch — the reference's metadata
+    columns on every landed row). Every primitive is the named
+    operator from functions/scalars.py; the whole chain stays in one
+    WholeStageCodegen projection after the dedup shuffle."""
     from etl_warehouse_agnostic_spark.functions.scalars import (
         multi_if,
         null_if_dirty,
@@ -938,15 +985,27 @@ def q_silver_model(spark, sf_dir):
         ).alias("record_hash"),
         (F.col("lsn") / F.lit(1000.0)).alias("lsn_k"),
         F.greatest(F.col("turn_idx"), F.lit(1)).alias("turn_floor"),
+        F.lit("events").alias("_source_system"),
+        F.lit("transcripts_changes").alias("_endpoint"),
+        F.lit(42).alias("_ingest_epoch"),
     )
 
 
 def q_multi_source_converge(spark, sf_dir):
-    """T7 complete: the change stream split into two disjoint sources
-    (by conv-id hash), orchestrated with ``depends_on`` ordering and
-    per-source manifest namespaces, each landing in its own table. The
-    union of the two final states must equal global SQL LWW — i.e. the
-    multi-source run converges to exactly the single-stream answer."""
+    """T7 + P8 in one row: the change stream split into two disjoint
+    sources (by conv-id hash), orchestrated with ``depends_on``
+    ordering and per-source manifest namespaces, each landing in its
+    own table. The union of the two final states must equal global SQL
+    LWW — i.e. the multi-source run converges to exactly the
+    single-stream answer. A SECOND orchestrated pass then exercises the
+    control-plane refresh gate (P8, ``should_skip_refresh`` — the
+    reference's _should_skip_reference_data_extraction,
+    extractors/leaflink/extractor.py:958-982): src_a carries a 24 h
+    refresh interval so its just-finalized epoch gates it to
+    ``skipped_fresh`` while src_b runs (and finds nothing new). The
+    engine-OBSERVED pass1>pass2 statuses ride every output row as the
+    ``control_plane`` column; the oracle asserts the expected statuses
+    as a literal, so the driver hash fails iff the gate misbehaves."""
     from pyspark.sql import types as T
 
     from etl_warehouse_agnostic_spark.lake.table import LakeTable
@@ -979,13 +1038,25 @@ def q_multi_source_converge(spark, sf_dir):
                     table=t,
                     depends_on=["src_a"] if name == "src_b" else [],
                     epoch_size=max(1000, n // 3),
+                    # P8 gate on the reference-data-shaped source only
+                    refresh_interval_hours=24.0 if name == "src_a" else None,
                     engine_kwargs={"num_salts": 8},
                 )
             )
-        out = MultiSourceRunner(spark, specs, os.path.join(root, "ck")).run_all()
-        assert all(r.status == "ran" for r in out.values()), out
+        out1 = MultiSourceRunner(spark, specs, os.path.join(root, "ck")).run_all()
+        # pass 2 against the same namespaces: src_a's epoch is minutes
+        # old → the refresh gate must skip it; src_b re-runs (no new
+        # LSNs → zero epochs, but the gate did not fire)
+        out2 = MultiSourceRunner(spark, specs, os.path.join(root, "ck")).run_all()
+        control_plane = ",".join(
+            f"{name}:{out1[name].status}>{out2[name].status}"
+            for name in sorted(out1)
+        )
         union = specs[0].table.read().unionByName(specs[1].table.read())
-        return union.select("conv_id", "turn_idx", "role", "text").localCheckpoint()
+        return union.select(
+            "conv_id", "turn_idx", "role", "text",
+            F.lit(control_plane).alias("control_plane"),
+        ).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1100,7 +1171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "windowed_op_counts": q_windowed_op_counts,
-    "metadata_stamping": q_metadata_stamping,
+    "pipeline_health": q_pipeline_health,
     "completeness_ratio": q_completeness_ratio,
     "valid_filter": q_valid_filter,
     "ordinal_numbering": q_ordinal_numbering,
@@ -1274,10 +1345,36 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT s_suppkey AS id, s_acctbal AS bal, s_nationkey AS nationkey FROM supplier
     """,
-    "metadata_stamping": f"""
-        SELECT lsn, conv_id, 'events' AS _source_system,
-               'transcripts_changes' AS _endpoint, 42 AS _ingest_epoch
-        FROM ({CHG_SQL}) WHERE lsn <= 100
+    # pipeline_health: epoch boundaries are ((k-1)*2000, min(k*2000,
+    # max_lsn)]; per-epoch net ops re-derived by LWW WITHIN each slice
+    # (the engine dedups per epoch, not globally); invariant flags are
+    # asserted as literals (recall_gates pattern).
+    "pipeline_health": f"""
+        WITH chg AS ({CHG_SQL}),
+        mx AS (SELECT max(lsn) AS ml FROM chg),
+        -- the engine's cursor scan is lsn > 0 (watermark starts at 0),
+        -- so an lsn-0 event is outside every slice
+        e AS (SELECT *, CAST(floor((lsn - 1) / 2000) AS INT) + 1 AS epoch
+              FROM chg WHERE lsn > 0),
+        lww AS (
+          SELECT epoch, op FROM (
+            SELECT epoch, op, row_number() OVER (
+              PARTITION BY epoch, conv_id, turn_idx
+              ORDER BY lsn DESC, ts DESC) AS rn
+            FROM e) WHERE rn = 1),
+        reads AS (SELECT epoch, count(*) AS rows_read FROM e GROUP BY epoch),
+        nets AS (
+          SELECT epoch,
+                 CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS rows_upserted,
+                 CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS rows_deleted
+          FROM lww GROUP BY epoch)
+        SELECT r.epoch, r.rows_read, n.rows_upserted, n.rows_deleted,
+               CAST((r.epoch - 1) * 2000 AS BIGINT) AS lsn_lo,
+               CAST(least(r.epoch * 2000, (SELECT ml FROM mx)) AS BIGINT) AS lsn_hi,
+               TRUE AS watermark_monotone,
+               TRUE AS counts_consistent,
+               TRUE AS within_sla
+        FROM reads r JOIN nets n ON r.epoch = n.epoch
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -1555,8 +1652,16 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'bounded' AS mode, conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'
     """,
-    "warehouse_parity": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
-    "multi_source_converge": f"SELECT conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'",
+    "warehouse_parity": f"""
+        SELECT 'duckdb' AS backend, conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'
+        UNION ALL
+        SELECT 'sqlite' AS backend, conv_id, turn_idx, role, text FROM ({LWW_SQL}) WHERE op <> 'D'
+    """,
+    "multi_source_converge": f"""
+        SELECT conv_id, turn_idx, role, text,
+               'src_a:ran>skipped_fresh,src_b:ran>ran' AS control_plane
+        FROM ({LWW_SQL}) WHERE op <> 'D'
+    """,
     "silver_model": f"""
         WITH cur AS (SELECT * FROM ({LWW_SQL}) WHERE op <> 'D'),
         en AS (SELECT *, json_extract_string(text, '$.k') AS k_val FROM cur)
@@ -1590,7 +1695,10 @@ ORACLES: dict[str, str] = {
                nullif(role, 'error') AS role_nz,
                md5(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|' || coalesce(text, '∅')) AS record_hash,
                lsn / 1000.0 AS lsn_k,
-               greatest(turn_idx, 1) AS turn_floor
+               greatest(turn_idx, 1) AS turn_floor,
+               'events' AS _source_system,
+               'transcripts_changes' AS _endpoint,
+               42 AS _ingest_epoch
         FROM en
     """,
     "time_partition_scan": f"""
