@@ -28,6 +28,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _auto_split_seconds(
+    unioned: DataFrame,
+    on: list[str],
+    threshold_rows: int,
+    sample_fraction: float,
+) -> float | None:
+    """Hot-key census on a seeded sample of the union: estimate the
+    hottest key's row count; if it would overflow one window task
+    (> ``threshold_rows``), derive a bucket width that caps each
+    (key, bucket) at ~``threshold_rows`` rows across the observed time
+    span. The sample keeps the census shuffle tiny (the scan itself is
+    one pass either way); callers who know their key distribution pass
+    an explicit ``split_seconds`` (or ``None``) to skip the census."""
+    stats = (
+        unioned.sample(fraction=sample_fraction, seed=7)
+        .groupBy(*on)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_ts").alias("lo"),
+            F.max("_ts").alias("hi"),
+        )
+        .agg(
+            F.max("n").alias("max_n"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+        .first()
+    )
+    if stats is None or stats["max_n"] is None:
+        return None
+    est_hottest = int(stats["max_n"] / sample_fraction)
+    if est_hottest <= threshold_rows:
+        return None
+    span = (stats["hi"] - stats["lo"]).total_seconds()
+    if span <= 0:
+        return None  # all rows share one instant — bucketing cannot help
+    n_buckets = max(2, -(-est_hottest // threshold_rows))  # ceil div
+    return max(span / n_buckets, 1e-6)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -35,7 +75,9 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_prefix: str = "r_",
-    split_seconds: float | None = None,
+    split_seconds: float | None | str = "auto",
+    auto_split_threshold: int = 4_000_000,
+    auto_sample_fraction: float = 0.01,
 ) -> DataFrame:
     """Left as-of join: all left columns + the latest right payload at
     or before the left timestamp (NULL when no right row precedes).
@@ -44,7 +86,15 @@ def asof_join(
     Ties (right.ts == left.ts) take the right row (<= semantics, same
     as DuckDB/QuestDB ASOF JOIN). ``split_seconds`` enables the hot-key
     time-bucket pre-split (identical results, proven by property test).
+
+    Default ``"auto"`` is hot-key-safe without caller opt-in: a cheap
+    sampled census estimates the hottest key and enables the pre-split
+    only when that key would exceed ``auto_split_threshold`` rows in a
+    single window task. Pass ``None`` (plain window) or an explicit
+    width to skip the census pass.
     """
+    if split_seconds is not None and not isinstance(split_seconds, (int, float, str)):
+        raise TypeError("split_seconds must be 'auto', None, or seconds")
     l_payload = [c for c in left.columns if c not in on and c != left_ts]
     r_payload = [c for c in right.columns if c not in on and c != right_ts]
 
@@ -70,6 +120,10 @@ def asof_join(
         rp_struct.alias("_rp"),
     )
     unioned = lt.unionByName(rt)
+    if split_seconds == "auto":
+        split_seconds = _auto_split_seconds(
+            unioned, on, auto_split_threshold, auto_sample_fraction
+        )
     if split_seconds is None:
         w = (
             Window.partitionBy(*on)

@@ -99,7 +99,21 @@ class StreamingCdcApply:
         else:
             self.engine.apply_epoch(batch_df, epoch=epoch)
 
-    def start(self, available_now: bool = True, schema=None):
+    def start(
+        self,
+        available_now: bool = True,
+        schema=None,
+        processing_time: str | None = None,
+    ):
+        """Start the stream. ``available_now=True`` (default) drains
+        the backlog and stops — the batch-equivalent replay.
+        ``processing_time`` instead runs FOREVER on a micro-batch
+        cadence (the reference's scheduled-DAG mode,
+        airflow/dags/repsly_dag.py:309-343): new change-log files are
+        picked up each interval, and a kill at ANY point — mid-batch
+        included — resumes exactly-once on restart, because a replayed
+        batch id maps to the same epoch id and the epoch ledger makes
+        it a no-op (proven by tests/test_streaming.py kill-restart)."""
         reader = self.engine.spark.readStream
         if schema is not None:
             reader = reader.schema(schema)
@@ -117,7 +131,9 @@ class StreamingCdcApply:
             .option("checkpointLocation", self.checkpoint_location)
             .outputMode("update")
         )
-        if available_now:
+        if processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        elif available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
@@ -125,3 +141,8 @@ class StreamingCdcApply:
         """Drain the current backlog and return (availableNow)."""
         q = self.start(available_now=True)
         q.awaitTermination()
+
+    def run_continuous(self, processing_time: str = "1 second"):
+        """Tail the change log forever on a micro-batch cadence;
+        returns the StreamingQuery (caller stops/monitors it)."""
+        return self.start(available_now=False, processing_time=processing_time)

@@ -142,3 +142,45 @@ def test_asof_join_no_duplicate_ts_column(spark):
     assert out.columns.count("ts") == 1
     # downstream reference on ts must resolve
     assert out.where(F.col("ts") >= d(2024, 1, 1)).select("ts", "r_tier").count() == 1
+
+
+def test_asof_auto_split_engages_on_hot_key_and_matches_plain(spark):
+    """Default 'auto' mode: on a skewed input (one key holding ~90% of
+    rows) with a tiny threshold, the census must ENGAGE the pre-split,
+    and the result must equal the plain unbounded-window join."""
+    from pyspark.sql import functions as F
+
+    from etl_warehouse_agnostic_spark.operators.joins import (
+        _auto_split_seconds,
+        asof_join,
+    )
+
+    n = 4000
+    base = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(
+            F.concat(F.lit("cold_"), (F.col("id") % 7).cast("string"))
+        ).alias("key"),
+        (F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+         + F.make_dt_interval(secs=F.col("id").cast("double"))).alias("ts"),
+        F.col("id").alias("payload"),
+    )
+    left = base
+    right = base.where(F.col("id") % 5 == 0).select(
+        "key", "ts", F.concat(F.lit("v"), F.col("payload").cast("string")).alias("ver")
+    )
+
+    def run(**kw):
+        return sorted(
+            (r.key, r.payload, r.r_ver)
+            for r in asof_join(left, right, on=["key"], **kw).collect()
+        )
+
+    plain = run(split_seconds=None)
+    auto = run(split_seconds="auto", auto_split_threshold=500, auto_sample_fraction=0.5)
+    assert auto == plain
+
+    # and the census really decided to split (not a silent None)
+    lt = left.select("key", F.col("ts").alias("_ts"))
+    assert _auto_split_seconds(lt, ["key"], 500, 0.5) is not None
+    # a generous threshold leaves the plain window in place
+    assert _auto_split_seconds(lt, ["key"], 10_000_000, 0.5) is None

@@ -248,3 +248,56 @@ def test_streaming_drains_into_warehouse_backend(spark, tmpdir_path, stream_dir)
         for r in duck.read().select("conv_id", "turn_idx", "text").collect()
     )
     assert got2 == want
+
+
+def test_continuous_trigger_kill_and_restart_converges(spark, tmpdir_path, stream_dir):
+    """The reference runs forever on a schedule
+    (airflow/dags/repsly_dag.py:309-343); the streaming analog is a
+    processingTime trigger. Kill the query mid-backlog, restart, and
+    the engine must converge to the batch LWW truth with a contiguous,
+    duplicate-free epoch chain — a replayed micro-batch maps to its
+    original epoch id and is skipped by the ledger."""
+    import time
+
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=8
+    )
+    store = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    eng = CdcEngine(spark, table, store)
+    ckpt = os.path.join(tmpdir_path, "stream_ckpt")
+    s1 = StreamingCdcApply(eng, stream_dir, ckpt, max_files_per_trigger=1)
+    q = s1.run_continuous(processing_time="1 second")
+    try:
+        # let it chew PART of the backlog (6 files, 1 per batch), then
+        # kill it mid-stream
+        deadline = time.time() + 120
+        while len(store.epochs()) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+        assert len(store.epochs()) >= 2, "stream never made progress"
+    finally:
+        q.stop()
+    mid_epochs = store.epochs()
+    assert len(mid_epochs) < 6, "kill was supposed to land mid-backlog"
+
+    # restart on the same checkpoint, continuous again, until drained
+    s2 = StreamingCdcApply(eng, stream_dir, ckpt, max_files_per_trigger=1)
+    assert s2.epoch_base == s1.epoch_base  # pinned across restarts
+    q2 = s2.run_continuous(processing_time="1 second")
+    try:
+        deadline = time.time() + 180
+        while len(store.epochs()) < 6 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+
+    # contiguous, duplicate-free epoch chain: every micro-batch applied
+    # exactly once across the kill
+    epochs = store.epochs()
+    assert epochs == list(range(1, len(epochs) + 1))
+    assert len(epochs) >= 6
+    got = [
+        (r.conv_id, r.turn_idx, r.text)
+        for r in table.read().select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx").collect()
+    ]
+    assert got == oracle(stream_dir)
