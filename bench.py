@@ -100,8 +100,55 @@ def main() -> int:
         apply_wall = time.monotonic() - t0
         eps = n_events / apply_wall
 
+        # ---- warehouse-agnostic loop: same stream, duckdb backend ----
+        # (run_warehouse + executor-side parquet hand-off; tracked since
+        # r4 so backend-transfer regressions show up per-round)
+        from pyspark.sql import functions as F
+
+        from etl_warehouse_agnostic_spark.lake.backends import make_warehouse
+        from etl_warehouse_agnostic_spark.orchestrate import MultiSourceRunner, SourceSpec
+
+        wh = make_warehouse(
+            spark, {"type": "duckdb", "path": os.path.join(work, "wh.duckdb")},
+            TRANSCRIPTS_SCHEMA_V2, KEY_COLS,
+        )
+        eng_wh = CdcEngine(spark, None, ManifestStore(os.path.join(work, "ckpt-wh")),
+                           source_partitions=cpus)
+        t0 = time.monotonic()
+        eng_wh.run_warehouse(
+            wh, ChangeStreamSource(spark, path=changes_path),
+            epoch_size=max(1, n_events // 2),
+        )
+        warehouse_wall = time.monotonic() - t0
+
+        # ---- orchestrated multi-source run: 2 disjoint streams,
+        # concurrent level scheduling, own tables + namespaces ----
+        chg_df = spark.read.parquet(changes_path)
+        is_a = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+        specs = [
+            SourceSpec(
+                name=name,
+                source=ChangeStreamSource(spark, df=chg_df.where(pred)),
+                table=LakeTable.create(
+                    spark, os.path.join(work, f"ms-{name}"),
+                    TRANSCRIPTS_SCHEMA_V2, KEY_COLS, num_buckets=64,
+                ),
+                epoch_size=max(1, n_events // 2),
+            )
+            for name, pred in (("src_a", is_a), ("src_b", ~is_a))
+        ]
+        runner = MultiSourceRunner(spark, specs, os.path.join(work, "ckpt-ms"))
+        t0 = time.monotonic()
+        ms_out = runner.run_all(max_parallel=2)
+        multi_wall = time.monotonic() - t0
+        assert all(r.status == "ran" for r in ms_out.values())
+
         # ---- per-query timings ----
-        timings: dict[str, float] = {"cdc_apply_loop": round(apply_wall, 3)}
+        timings: dict[str, float] = {
+            "cdc_apply_loop": round(apply_wall, 3),
+            "warehouse_apply_loop": round(warehouse_wall, 3),
+            "multi_source_loop": round(multi_wall, 3),
+        }
         for name in HEADLINE:
             fn = QUERIES.get(name) or {"blocked_near_pairs": _q_blocked_near_pairs}[name]
             t0 = time.monotonic()
