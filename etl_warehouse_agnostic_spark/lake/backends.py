@@ -364,12 +364,15 @@ class DuckBackend:
         storage, or ``spark.read.jdbc`` with ``partitionColumn``). The
         driver never holds rows."""
         out_dir = self._spill("read")
-        os.makedirs(out_dir, exist_ok=True)
-        out = os.path.join(out_dir, "table.parquet")
+        os.makedirs(self.spill_dir, exist_ok=True)
+        # PER_THREAD_OUTPUT: the warehouse writes one file per thread
+        # (parallel export), Spark scans them in parallel (and splits
+        # each by row group). Export dirs live until close().
         self._con.execute(
-            f"COPY (SELECT * FROM {self.table_name}) TO '{out}' (FORMAT PARQUET)"
+            f"COPY (SELECT * FROM {self.table_name}) TO '{out_dir}' "
+            "(FORMAT PARQUET, PER_THREAD_OUTPUT TRUE)"
         )
-        return self._spark.read.schema(self._schema).parquet(out)
+        return self._spark.read.schema(self._schema).parquet(out_dir)
 
     def close(self) -> None:
         self._con.close()
@@ -450,6 +453,14 @@ class SqliteBackend:
         b._keys = list(key_cols)
         cols = ", ".join(f'"{f.name}" {cls._sql_type(f.dataType)}' for f in schema.fields)
         b._con.execute(f"CREATE TABLE IF NOT EXISTS {b.table_name} ({cols})")
+        # The key index is what a real warehouse target's PRIMARY KEY
+        # provides: without it every per-row DELETE in the MERGE is a
+        # full table scan — O(table × delta) per epoch.
+        key_list = ", ".join(f'"{k}"' for k in key_cols)
+        b._con.execute(
+            f"CREATE UNIQUE INDEX IF NOT EXISTS {b.table_name}_key "
+            f"ON {b.table_name} ({key_list})"
+        )
         b._con.execute(
             "CREATE TABLE IF NOT EXISTS _epochs (epoch_id INTEGER PRIMARY KEY, "
             "rows_written INTEGER, lsn_lo INTEGER, lsn_hi INTEGER)"
