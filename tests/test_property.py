@@ -197,3 +197,54 @@ def test_warehouse_loop_random_epochs_converge(spark, tmp_path_factory, events, 
         for r in duck.read().select("conv_id", "turn_idx", "text").collect()
     }
     assert dict(sorted(got.items())) == python_oracle(events)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    events=st.lists(event, min_size=4, max_size=30),
+    epoch_size=st.integers(1, 31),
+    cut_frac=st.floats(0.2, 0.9),
+)
+def test_warehouse_crash_heal_never_loses_events(
+    spark, tmp_path_factory, events, epoch_size, cut_frac
+):
+    """The r3 ADVICE lost-changes scenario as a property: run the
+    warehouse loop over an arbitrary PREFIX of the stream, crash after
+    the last epoch's MERGE but before its manifest finalize (manifest
+    deleted), let the source grow to the full stream, restart — for
+    EVERY (interleaving, epoch size, truncation point) the final state
+    must equal the python oracle over the full stream. This holds only
+    if the heal finalizes from the ledger's recorded lsn range and the
+    loop re-slices the gap."""
+    from etl_warehouse_agnostic_spark.lake.backends import DuckBackend
+
+    root = str(tmp_path_factory.mktemp("whheal"))
+    rows = [
+        (lsn, op, f"c{conv}", turn, "user", f"t{lsn}" if op != "D" else None, None)
+        for lsn, (op, conv, turn) in enumerate(events, start=1)
+    ]
+    df = spark.createDataFrame(
+        rows, "lsn long, op string, conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+    cut = max(1, int(len(rows) * cut_frac))
+    prefix = df.where(f"lsn <= {cut}")
+
+    duck = DuckBackend.create(
+        spark, os.path.join(root, "wh.duckdb"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    store = ManifestStore(os.path.join(root, "ck"))
+    eng = CdcEngine(spark, None, store, num_salts=2)
+    eng.run_warehouse(duck, ChangeStreamSource(spark, df=prefix), epoch_size=epoch_size)
+
+    last = store.last_epoch()
+    if last is not None:  # crash window on the newest epoch
+        os.unlink(os.path.join(store.path, f"epoch={last:08d}.json"))
+
+    eng.run_warehouse(duck, ChangeStreamSource(spark, df=df), epoch_size=epoch_size)
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in duck.read().select("conv_id", "turn_idx", "text").collect()
+    }
+    assert dict(sorted(got.items())) == python_oracle(events)
+    assert store.high_water_lsn() == len(rows)
