@@ -31,6 +31,14 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# Join-site rule: never evaluate `cosine` directly inside a pairwise
+# join — that recomputes BOTH vector norms per candidate pair (three
+# array aggregations per pair). Hoist each side's norm into a per-ROW
+# column first and use ``_dot(a, b) / (na * nb)``: identical
+# floating-point expression (same ops, same order), one aggregation
+# per pair. All the pairwise operators below do this.
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,11 +55,11 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
-    )
+    ).withColumn("_qn", _norm(F.col("_qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
-    )
-    sim = cosine(F.col("_qv"), F.col("_cv"))
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     if round_to is not None:
         sim = F.round(sim, round_to)
     scored = (
@@ -77,9 +85,12 @@ def cosine_near_pairs(
     ``cosine ≥ threshold``. O(n²) self-join — the correctness baseline
     only; :func:`blocked_near_pairs` is the scale path (same contract,
     sub-quadratic)."""
-    a = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("_va"))
-    b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("_vb"))
-    sim = cosine(F.col("_va"), F.col("_vb"))
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    a = base.select(F.col(id_col).alias("a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = base.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    sim = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     if round_to is not None:
         sim = F.round(sim, round_to)
     return (
@@ -122,9 +133,14 @@ def blocked_assignment(
     whose membership exceeds ``max_cell_size`` via SRP bits. Exposed so
     tests (and capacity planners) can audit block sizes directly."""
     cents = kmeans_centroids(corpus, id_col, vec_col, k=num_centroids, sample_size=sample_size)
-    c = cents.select("centroid_id", F.col(vec_col).alias("_cent"))
-    csim = F.round(cosine(F.col(vec_col), F.col("_cent")), 6)
-    scored = corpus.join(F.broadcast(c)).select(id_col, vec_col, "centroid_id", csim.alias("_cs"))
+    c = cents.select("centroid_id", F.col(vec_col).alias("_cent")).withColumn(
+        "_cent_n", _norm(F.col("_cent"))
+    )
+    corp = corpus.withColumn("_vn", _norm(F.col(vec_col)))
+    csim = F.round(
+        _dot(F.col(vec_col), F.col("_cent")) / (F.col("_vn") * F.col("_cent_n")), 6
+    )
+    scored = corp.join(F.broadcast(c)).select(id_col, vec_col, "centroid_id", csim.alias("_cs"))
     w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("centroid_id"))
     assigned = (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -185,15 +201,21 @@ def blocked_near_pairs(
         corpus, num_centroids=num_centroids, nprobe=nprobe, id_col=id_col,
         vec_col=vec_col, sample_size=sample_size, max_cell_size=max_cell_size,
     )
-    left = assigned.select(
-        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("_va"),
+    normed = assigned.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"),
+        "centroid_id", "_blk",
+    ).withColumn("_n", _norm(F.col("_v")))
+    left = normed.select(
+        F.col(id_col).alias("a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"),
         "centroid_id", "_blk",
     )
-    right = assigned.select(
-        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("_vb"),
+    right = normed.select(
+        F.col(id_col).alias("b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
         "centroid_id", "_blk",
     )
-    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    sim = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
     return (
         left.join(right, ["centroid_id", "_blk"])
         .where(F.col("a") < F.col("b"))
@@ -212,9 +234,14 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (cosine, broadcast).
     Deterministic ties → lowest centroid id."""
-    c = centroids.select(F.col(cent_id), F.col(vec_col).alias("_cent"))
-    sim = F.round(cosine(F.col(vec_col), F.col("_cent")), 6)
-    scored = corpus.join(F.broadcast(c)).select(
+    c = centroids.select(F.col(cent_id), F.col(vec_col).alias("_cent")).withColumn(
+        "_cent_n", _norm(F.col("_cent"))
+    )
+    corp = corpus.withColumn("_vn", _norm(F.col(vec_col)))
+    sim = F.round(
+        _dot(F.col(vec_col), F.col("_cent")) / (F.col("_vn") * F.col("_cent_n")), 6
+    )
+    scored = corp.join(F.broadcast(c)).select(
         id_col, vec_col, cent_id, sim.alias("_csim")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc(cent_id))
@@ -295,21 +322,28 @@ def ivf_topk(
     )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    qsim = F.round(cosine(F.col("_qv"), F.col(vec_col)), 6)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    qsim = F.round(
+        _dot(F.col("_qv"), F.col(vec_col)) / (F.col("_qn") * _norm(F.col(vec_col))), 6
+    )
     qcells = (
         q.join(F.broadcast(cents))
-        .select("query_id", "_qv", "centroid_id", qsim.alias("_csim"))
+        .select("query_id", "_qv", "_qn", "centroid_id", qsim.alias("_csim"))
     )
     w_q = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("centroid_id"))
     probes = (
         qcells.withColumn("_rn", F.row_number().over(w_q))
         .where(F.col("_rn") <= nprobe)
-        .select("query_id", "_qv", "centroid_id")
+        .select("query_id", "_qv", "_qn", "centroid_id")
     )
-    sim = F.round(cosine(F.col("_qv"), F.col(vec_col)), 6)
+    scanned = assigned.withColumn("_n", _norm(F.col(vec_col)))
+    sim = F.round(
+        _dot(F.col("_qv"), F.col(vec_col)) / (F.col("_qn") * F.col("_n")), 6
+    )
     scored = (
-        assigned.join(F.broadcast(probes), "centroid_id")
+        scanned.join(F.broadcast(probes), "centroid_id")
         .where(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
     )
