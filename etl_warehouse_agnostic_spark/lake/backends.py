@@ -214,6 +214,12 @@ class DuckBackend:
         )
         b._con.execute(f"CREATE TABLE IF NOT EXISTS {b.table_name} ({cols})")
         b._con.execute(_EPOCHS_DDL)
+        # Opening a warehouse created before the lsn-range ledger: the
+        # IF NOT EXISTS above keeps the old table, so add the columns.
+        have = {r[0] for r in b._con.execute("DESCRIBE _epochs").fetchall()}
+        for col in ("lsn_lo", "lsn_hi"):
+            if col not in have:
+                b._con.execute(f"ALTER TABLE _epochs ADD COLUMN {col} BIGINT")
         return b
 
     @property
@@ -465,6 +471,10 @@ class SqliteBackend:
             "CREATE TABLE IF NOT EXISTS _epochs (epoch_id INTEGER PRIMARY KEY, "
             "rows_written INTEGER, lsn_lo INTEGER, lsn_hi INTEGER)"
         )
+        have = {r[1] for r in b._con.execute("PRAGMA table_info(_epochs)").fetchall()}
+        for col in ("lsn_lo", "lsn_hi"):
+            if col not in have:
+                b._con.execute(f"ALTER TABLE _epochs ADD COLUMN {col} INTEGER")
         return b
 
     @property
