@@ -301,3 +301,47 @@ def test_continuous_trigger_kill_and_restart_converges(spark, tmpdir_path, strea
         .orderBy("conv_id", "turn_idx").collect()
     ]
     assert got == oracle(stream_dir)
+
+
+def test_continuous_trigger_warehouse_kill_restart(spark, tmpdir_path, stream_dir):
+    """Same kill-restart contract on the streaming × warehouse cell:
+    continuous trigger into the SQL backend, killed mid-backlog, must
+    restart exactly-once (ledger-skipped replays) and converge."""
+    import time
+
+    from etl_warehouse_agnostic_spark.lake.backends import DuckBackend
+
+    duck = DuckBackend.create(
+        spark, os.path.join(tmpdir_path, "wh.duckdb"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    store = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    eng = CdcEngine(spark, None, store, num_salts=4)
+    ckpt = os.path.join(tmpdir_path, "stream_ckpt")
+    s1 = StreamingCdcApply(eng, stream_dir, ckpt, max_files_per_trigger=1, warehouse=duck)
+    q = s1.run_continuous(processing_time="1 second")
+    try:
+        deadline = time.time() + 120
+        while len(store.epochs()) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+        assert len(store.epochs()) >= 2
+    finally:
+        q.stop()
+    assert len(store.epochs()) < 6
+
+    s2 = StreamingCdcApply(eng, stream_dir, ckpt, max_files_per_trigger=1, warehouse=duck)
+    q2 = s2.run_continuous(processing_time="1 second")
+    try:
+        deadline = time.time() + 180
+        while len(store.epochs()) < 6 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+
+    epochs = store.epochs()
+    assert epochs == list(range(1, len(epochs) + 1)) and len(epochs) >= 6
+    assert duck.committed_epochs() == epochs  # ledger mirrors manifests 1:1
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in duck.read().select("conv_id", "turn_idx", "text").collect()
+    )
+    assert got == sorted(tuple(r) for r in oracle(stream_dir))
