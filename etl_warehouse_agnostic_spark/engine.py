@@ -405,6 +405,17 @@ class CdcEngine:
         if self.checkpoints.is_finalized(epoch):
             return EpochResult(epoch=epoch, skipped=True)
         t0 = time.monotonic()
+        # Writer-schema registry (same semantics as the lake path): the
+        # slice carries only the columns of the max writer schema it
+        # actually contains, even when the change log physically stores
+        # the union schema — so a column never evolves into the
+        # warehouse before a writer has produced it.
+        if self.schema_registry is not None:
+            row = changes.agg(F.max("schema_ver")).first()
+            sv = int(row[0]) if row and row[0] is not None else 1
+            payload_cols = self.schema_registry[sv]
+            keep = [c for c in changes.columns if c in CDC_COLS or c in self.key_cols]
+            changes = changes.select(*keep, *[c for c in payload_cols if c not in keep])
         added = new_fields(changes, warehouse.schema, passthrough=CDC_COLS)
         schema = warehouse.evolve_schema(added) if added else warehouse.schema
         deduped = lww_dedup(

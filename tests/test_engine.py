@@ -219,3 +219,28 @@ def test_engine_on_day_partitioned_table_converges_and_prunes(spark, tmpdir_path
     one = table.read(day_range=(days[0], days[0]))
     assert one.count() > 0
     assert all(f"_pd={days[0]}" in f for f in one.inputFiles())
+
+
+def test_warehouse_loop_respects_schema_registry(spark, tmpdir_path, changes_path):
+    """Writer-schema narrowing on the warehouse path, mirroring the
+    lake path: the change log physically stores the union schema (tool
+    column NULL before the evolution LSN), but the warehouse must not
+    grow the column until a v2 writer actually appears in a slice."""
+    from etl_warehouse_agnostic_spark.lake.backends import DuckBackend
+
+    duck = DuckBackend.create(
+        spark, os.path.join(tmpdir_path, "wh.duckdb"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    ck = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    eng = CdcEngine(spark, None, ck, num_salts=4, schema_registry=REGISTRY)
+    src = ChangeStreamSource(spark, path=changes_path)
+    eng.run_warehouse(duck, src, epoch_size=EVOLUTION_LSN, max_epochs=1)
+    assert "tool" not in duck.schema.names  # no v2 writer seen yet
+    eng.run_warehouse(duck, src, epoch_size=N_EVENTS)
+    assert "tool" in duck.schema.names  # ALTER fired once v2 arrived
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.role, r.text)
+        for r in duck.read().select("conv_id", "turn_idx", "role", "text").collect()
+    )
+    want = [(w[0], w[1], w[2], w[3]) for w in oracle_final_state(changes_path)]
+    assert got == sorted(want)
