@@ -374,6 +374,7 @@ class CdcEngine:
         per-bucket footer lineage — a LakeTable specialization this
         generic loop does not assume.
         """
+        self.recover_warehouse(warehouse)
         results: list[EpochResult] = []
         hi_water = self.checkpoints.high_water_lsn()
         source_max = source.max_lsn()
@@ -390,6 +391,73 @@ class CdcEngine:
             # the truth about what was applied — never the loop's own
             # recomputed bound.
             hi_water, epoch = self.checkpoints.high_water_lsn(), epoch + 1
+        return results
+
+    def recover_warehouse(self, warehouse) -> list[int]:
+        """The warehouse analog of :meth:`recover`: finalize manifests
+        for epochs the backend's ledger committed but whose manifest
+        write was lost (crash window), using the ledger's RECORDED lsn
+        range. Running this BEFORE a loop plans its slices is what
+        makes pre-planned (bounded) epochs crash-safe — planning must
+        start from the healed watermark, not a stale one. Epochs whose
+        ledger predates the lsn columns (legacy) heal inline at their
+        replay instead (the recomputed bounds are all we have)."""
+        healed: list[int] = []
+        for epoch in warehouse.committed_epochs():
+            if self.checkpoints.is_finalized(epoch):
+                continue
+            info = warehouse.epoch_info(epoch)
+            if info is None or info.get("lsn_hi") is None:
+                continue
+            lo = int(info.get("lsn_lo") or 0)
+            hi = int(info["lsn_hi"])
+            manifest = {
+                "epoch": epoch,
+                "offsets": {"all": {"max_lsn": hi, "rows": info.get("rows_written", 0)}},
+                "metrics": {
+                    "rows_upserted": int(info.get("rows_written") or 0),
+                    "wall_ms": 0,
+                    "healed": True,
+                },
+                "lineage": {
+                    "source": self.source_name,
+                    "lsn_range": [lo, hi],
+                },
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            self.checkpoints.finalize(epoch, manifest)
+            healed.append(epoch)
+        return healed
+
+    def run_warehouse_bounded(
+        self,
+        warehouse,
+        source: ChangeStreamSource,
+        max_rows_per_epoch: int,
+        lookback: int = 0,
+        granules: int = 1024,
+    ) -> list[EpochResult]:
+        """Row-bounded epochs (S5, histogram-planned — see
+        :meth:`run_bounded`) against any ``WarehouseBackend``. Crash
+        safety with PRE-PLANNED slices requires the upfront
+        :meth:`recover_warehouse`: slices are derived from the healed
+        watermark, so a crashed epoch's gap is inside the new plan
+        rather than between stale plan boundaries."""
+        self.recover_warehouse(warehouse)
+        results: list[EpochResult] = []
+        hi_water = self.checkpoints.high_water_lsn()
+        source_max = source.max_lsn()
+        if hi_water >= source_max:
+            return results
+        epoch = (self.checkpoints.last_epoch() or 0) + 1
+        for lo, hi in source.plan_bounded_slices(
+            hi_water, source_max, max_rows=max_rows_per_epoch, granules=granules
+        ):
+            changes = source.read_slice(lo, hi, lookback=lookback)
+            results.append(
+                self.apply_epoch_warehouse(warehouse, changes, epoch, lsn_range=(lo, hi))
+            )
+            epoch += 1
         return results
 
     def apply_epoch_warehouse(

@@ -75,6 +75,8 @@ class WarehouseBackend(Protocol):
 
     def epoch_lsn_range(self, epoch_id: int) -> tuple[int, int] | None: ...
 
+    def epoch_info(self, epoch_id: int) -> dict | None: ...
+
 
 def _export_delta(df: DataFrame, schema: T.StructType, out_dir: str) -> list[str]:
     """Executor-parallel hand-off: Spark writes the epoch-bounded delta
@@ -132,6 +134,19 @@ class LakeBackend:
             manifest = snap["summary"].get("manifest")
             rng = manifest and manifest.get("lineage", {}).get("lsn_range")
         return (int(rng[0]), int(rng[1])) if rng else None
+
+    def epoch_info(self, epoch_id: int) -> dict | None:
+        """{rows_written, lsn_lo, lsn_hi} from the commit that carried
+        this epoch, or None if unknown (crash-recovery backfill)."""
+        snap = self.table.epoch_snapshot(epoch_id)
+        if snap is None:
+            return None
+        rng = self.epoch_lsn_range(epoch_id)
+        return {
+            "rows_written": int(snap["summary"].get("rows_written") or 0),
+            "lsn_lo": rng[0] if rng else None,
+            "lsn_hi": rng[1] if rng else None,
+        }
 
     def evolve_schema(self, new_columns) -> T.StructType:
         return self.table.evolve_schema(new_columns)
@@ -261,6 +276,17 @@ class DuckBackend:
         if r is None or r[1] is None:
             return None
         return (int(r[0] or 0), int(r[1]))
+
+    def epoch_info(self, epoch_id: int) -> dict | None:
+        r = self._con.execute(
+            "SELECT rows_written, lsn_lo, lsn_hi FROM _epochs WHERE epoch_id = ?",
+            [epoch_id],
+        ).fetchone()
+        if r is None:
+            return None
+        return {"rows_written": int(r[0] or 0),
+                "lsn_lo": None if r[1] is None else int(r[1]),
+                "lsn_hi": None if r[2] is None else int(r[2])}
 
     # -- contract -----------------------------------------------------
 
@@ -510,6 +536,17 @@ class SqliteBackend:
         if r is None or r[1] is None:
             return None
         return (int(r[0] or 0), int(r[1]))
+
+    def epoch_info(self, epoch_id: int) -> dict | None:
+        r = self._con.execute(
+            "SELECT rows_written, lsn_lo, lsn_hi FROM _epochs WHERE epoch_id = ?",
+            [epoch_id],
+        ).fetchone()
+        if r is None:
+            return None
+        return {"rows_written": int(r[0] or 0),
+                "lsn_lo": None if r[1] is None else int(r[1]),
+                "lsn_hi": None if r[2] is None else int(r[2])}
 
     # -- bounded-batch loader ----------------------------------------
 

@@ -186,10 +186,12 @@ def test_warehouse_loop_heals_crash_between_merge_and_manifest(spark, tmpdir_pat
     assert not ck.is_finalized(last)
     assert last in duck.committed_epochs()
 
+    # upfront recovery heals the manifest from the ledger BEFORE the
+    # loop plans anything; with no new LSNs the loop then does nothing
     results = eng.run_warehouse(duck, ChangeStreamSource(spark, df=chg), epoch_size=800)
-    healed = [r for r in results if r.epoch == last]
-    assert healed and healed[0].skipped  # ledger hit → no re-apply
+    assert results == []
     assert ck.is_finalized(last)
+    assert ck.get(last)["metrics"].get("healed") is True
     assert _final_state(duck.read()) == state_before
 
 
@@ -306,13 +308,14 @@ def test_warehouse_heal_of_truncated_epoch_does_not_lose_new_lsns(spark, tmpdir_
     # crash window: epoch 2 merged (ledger) but its manifest was lost
     os.unlink(os.path.join(ck.path, "epoch=00000002.json"))
 
-    # restart against the GROWN source (lsns now reach 2000)
+    # restart against the GROWN source (lsns now reach 2000): upfront
+    # recovery finalizes epoch 2 from the RECORDED (1000,1200] range,
+    # then the loop slices the remainder starting at 1200
     results = eng.run_warehouse(duck, ChangeStreamSource(spark, df=chg), epoch_size=1000)
-    healed = [r for r in results if r.epoch == 2]
-    assert healed and healed[0].skipped
-    # the healed manifest records the APPLIED range, not the recomputed one
     assert ck.get(2)["lineage"]["lsn_range"] == [1000, 1200]
-    # and the gap (1200, 2000] was applied by a follow-up epoch
+    assert ck.get(2)["metrics"].get("healed") is True
+    assert results and results[0].epoch == 3 and not results[0].skipped
+    # and the gap (1200, 2000] was applied by the follow-up epochs
     assert ck.high_water_lsn() == 2000
 
     # ground truth: a fresh run over the full stream
@@ -344,3 +347,44 @@ def test_overwrite_replay_is_skipped_noop_everywhere(spark, tmpdir_path):
         assert res.skipped, t
         assert wh.committed_epochs().count(7) == 1, t
         assert _final_state(wh.read()) == _final_state(df), t
+
+
+def test_bounded_warehouse_loop_converges_and_heals(spark, tmpdir_path):
+    """S5 on the warehouse path: histogram-planned row-bounded epochs
+    must converge to the fixed-size loop's state, and a crash before
+    the last manifest finalize must heal BEFORE planning so the
+    pre-planned slices start at the healed watermark (no gap, no
+    overlap lost)."""
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+
+    chg = generate_changes(spark, 3000, n_convs=30, turns_per_conv=8, seed=61).localCheckpoint()
+    old = chg.where(F.col("lsn") <= 1800).localCheckpoint()
+
+    duck = DuckBackend.create(
+        spark, os.path.join(tmpdir_path, "wh.duckdb"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    ck = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    eng = CdcEngine(spark, None, ck, num_salts=4)
+    results = eng.run_warehouse_bounded(
+        duck, ChangeStreamSource(spark, df=old), max_rows_per_epoch=700, granules=64
+    )
+    assert len(results) >= 2 and not any(r.skipped for r in results)
+    # every planned epoch stayed under the row cap (modulo one dense granule)
+    assert all(r.rows_upserted <= 700 for r in results)
+
+    # crash window on the newest epoch, then the source grows
+    last = ck.last_epoch()
+    os.unlink(os.path.join(ck.path, f"epoch={last:08d}.json"))
+    eng.run_warehouse_bounded(
+        duck, ChangeStreamSource(spark, df=chg), max_rows_per_epoch=700, granules=64
+    )
+    assert ck.get(last)["metrics"].get("healed") is True
+    assert ck.high_water_lsn() == 3000
+
+    # ground truth: fixed-size loop over the full stream
+    duck2 = DuckBackend.create(
+        spark, os.path.join(tmpdir_path, "wh2.duckdb"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    CdcEngine(spark, None, ManifestStore(os.path.join(tmpdir_path, "ck2")),
+              num_salts=4).run_warehouse(duck2, ChangeStreamSource(spark, df=chg), epoch_size=900)
+    assert _final_state(duck.read()) == _final_state(duck2.read())
