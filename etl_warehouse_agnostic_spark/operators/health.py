@@ -102,3 +102,46 @@ def pipeline_health(
         if hi is not None:
             prev_hi = int(hi)
     return spark.createDataFrame(rows, HEALTH_SCHEMA)
+
+
+TABLE_HEALTH_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("n_files", T.IntegerType(), False),
+        T.StructField("bytes", T.LongType(), False),
+        T.StructField("avg_file_bytes", T.LongType(), False),
+        T.StructField("fragmented", T.BooleanType(), False),
+    ]
+)
+
+
+def table_health(
+    spark: SparkSession,
+    table,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Per-bucket physical layout census from the current snapshot —
+    file counts, bytes, and a ``fragmented`` flag matching
+    ``rewrite_small_files``'s candidate rule (≥2 files AND average
+    file size under ``target_file_bytes``), so the frame doubles as
+    the compaction plan. Snapshot metadata + ``os.path.getsize`` only;
+    no data-plane job (a copy-on-write table's file inventory IS its
+    snapshot)."""
+    import os
+
+    snap = table.snapshot()
+    rows = []
+    for b, paths in sorted(snap["files"].items(), key=lambda kv: int(kv[0])):
+        sizes = [os.path.getsize(os.path.join(table.path, p)) for p in paths]
+        total = sum(sizes)
+        avg = total // max(len(sizes), 1)
+        rows.append(
+            (
+                int(b),
+                len(sizes),
+                int(total),
+                int(avg),
+                len(sizes) >= 2 and avg < target_file_bytes,
+            )
+        )
+    return spark.createDataFrame(rows, TABLE_HEALTH_SCHEMA)

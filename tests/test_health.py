@@ -64,3 +64,36 @@ def test_health_flags_flip_on_their_failures(spark, tmpdir_path):
     later = time.mktime((2026, 6, 1, 0, 0, 0, 0, 0, 0))
     stale = pipeline_health(spark, store, sla_hours=24.0, now=later).collect()
     assert all(not r.within_sla for r in stale)
+
+
+def test_table_health_census_matches_snapshot_and_compaction_rule(spark, tmpdir_path):
+    """table_health mirrors the snapshot's file inventory exactly and
+    its `fragmented` flag agrees with rewrite_small_files: compacting
+    exactly the flagged buckets leaves no bucket flagged."""
+    from etl_warehouse_agnostic_spark.operators.health import table_health
+
+    # enough DISTINCT keys that each bucket's post-LWW state exceeds
+    # the rows-per-file bound (dedup collapses to one row per key)
+    chg = generate_changes(spark, 3000, n_convs=200, turns_per_conv=10, seed=29).localCheckpoint()
+    table = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=4
+    )
+    table.max_records_per_file = 50  # force multi-file buckets
+    ck = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    CdcEngine(spark, table, ck, num_salts=4).run(
+        ChangeStreamSource(spark, df=chg), epoch_size=700
+    )
+
+    h = {r.bucket: r for r in table_health(spark, table).collect()}
+    snap = table.snapshot()
+    assert set(h) == {int(b) for b in snap["files"]}
+    for b, paths in snap["files"].items():
+        assert h[int(b)].n_files == len(paths)
+    flagged = [b for b, r in h.items() if r.fragmented]
+    assert flagged, "tiny rows-per-file bound must fragment some buckets"
+
+    stats = table.rewrite_small_files(min_files=2)
+    assert stats["buckets_compacted"] == len(flagged)
+    table.max_records_per_file = None
+    h2 = table_health(spark, table).collect()
+    assert not any(r.fragmented for r in h2)
