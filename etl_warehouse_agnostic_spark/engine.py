@@ -407,9 +407,13 @@ class CdcEngine:
             if self.checkpoints.is_finalized(epoch):
                 continue
             info = warehouse.epoch_info(epoch)
-            if info is None or info.get("lsn_hi") is None:
+            if info is None or info.get("lsn_hi") is None or info.get("lsn_lo") is None:
+                # no recorded range (or a half-recorded one): heal
+                # inline at replay instead — coercing a NULL lsn_lo to
+                # 0 would make pipeline_health report a false
+                # gap/overlap against the previous epoch's hi
                 continue
-            lo = int(info.get("lsn_lo") or 0)
+            lo = int(info["lsn_lo"])
             hi = int(info["lsn_hi"])
             manifest = {
                 "epoch": epoch,
@@ -513,10 +517,18 @@ class CdcEngine:
             # LSNs before restart). Finalize the manifest from the
             # RECORDED range so the watermark never advances past rows
             # that were not applied — the loop then re-slices the gap
-            # into the next epoch.
-            recorded = warehouse.epoch_lsn_range(epoch)
-            if recorded is not None:
-                lsn_range = recorded
+            # into the next epoch. A legacy ledger row may carry only
+            # lsn_hi: take the recorded hi (what was actually applied)
+            # but keep the loop's computed lo rather than substituting
+            # 0 (which would read as a false gap/overlap in
+            # pipeline_health's watermark flags).
+            info = warehouse.epoch_info(epoch)
+            if info is not None and info.get("lsn_hi") is not None:
+                lo = info.get("lsn_lo")
+                lsn_range = (
+                    lsn_range[0] if lo is None else int(lo),
+                    int(info["lsn_hi"]),
+                )
         manifest = {
             "epoch": epoch,
             "offsets": {"all": {"max_lsn": lsn_range[1], "rows": res.rows_written}},

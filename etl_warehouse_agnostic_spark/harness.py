@@ -1349,6 +1349,13 @@ ORACLES: dict[str, str] = {
     # max_lsn)]; per-epoch net ops re-derived by LWW WITHIN each slice
     # (the engine dedups per epoch, not globally); invariant flags are
     # asserted as literals (recall_gates pattern).
+    # NB dense-LSN assumption: this oracle derives epochs only for
+    # slices that CONTAIN rows (reads×nets inner join). The engine
+    # emits a manifest (and health row) even for an entirely-empty
+    # 2000-LSN slice — fine here because the fixture's lsn sequence
+    # (event_id) is dense, but a fixture with a gap spanning a whole
+    # slice would need a generated epoch series with zero-filled
+    # counts on the oracle side.
     "pipeline_health": f"""
         WITH chg AS ({CHG_SQL}),
         mx AS (SELECT max(lsn) AS ml FROM chg),

@@ -209,6 +209,7 @@ class DuckBackend:
         self._spark: SparkSession | None = None
         self._schema: T.StructType | None = None
         self._keys: list[str] = []
+        self._read_dirs: list[str] = []
 
     @classmethod
     def create(
@@ -311,6 +312,17 @@ class DuckBackend:
             self._con.execute("BEGIN TRANSACTION")
             try:
                 rows = 0
+                # delete_keys are applied BEFORE the upsert insert so a
+                # key present in both nets to the upsert surviving —
+                # the same resolution LakeTable._merge_attempt gives
+                # (the engine's split_ops never overlaps keys; direct
+                # callers may).
+                if dk_files:
+                    self._con.execute(
+                        "CREATE OR REPLACE TEMP VIEW _dkeys AS SELECT * "
+                        f"FROM read_parquet({_duck_files_literal(dk_files)})"
+                    )
+                    self._con.execute(f"DELETE FROM {t} USING _dkeys d WHERE {key_eq}")
                 if up_files:
                     self._con.execute(
                         "CREATE OR REPLACE TEMP VIEW _delta AS SELECT * "
@@ -325,12 +337,6 @@ class DuckBackend:
                     rows = self._con.execute(
                         f"INSERT INTO {t} ({insert_cols}) SELECT {insert_cols} FROM _delta"
                     ).fetchone()[0]
-                if dk_files:
-                    self._con.execute(
-                        "CREATE OR REPLACE TEMP VIEW _dkeys AS SELECT * "
-                        f"FROM read_parquet({_duck_files_literal(dk_files)})"
-                    )
-                    self._con.execute(f"DELETE FROM {t} USING _dkeys d WHERE {key_eq}")
                 if epoch_id is not None:
                     lo, hi = lsn_range if lsn_range is not None else (None, None)
                     self._con.execute(
@@ -395,16 +401,29 @@ class DuckBackend:
         ingest path (on a real warehouse: ``COPY ... TO`` object
         storage, or ``spark.read.jdbc`` with ``partitionColumn``). The
         driver never holds rows."""
+        # The export must outlive this call (the returned DataFrame
+        # scans lazily), but not forever: each read() prunes the
+        # PREVIOUS read's export, so a long-lived process holds at most
+        # one export at a time. A DataFrame from an earlier read() is
+        # therefore invalidated by the next read(); close() removes the
+        # last one.
+        self._prune_read_dirs()
         out_dir = self._spill("read")
         os.makedirs(self.spill_dir, exist_ok=True)
         # PER_THREAD_OUTPUT: the warehouse writes one file per thread
         # (parallel export), Spark scans them in parallel (and splits
-        # each by row group). Export dirs live until close().
+        # each by row group).
         self._con.execute(
             f"COPY (SELECT * FROM {self.table_name}) TO '{out_dir}' "
             "(FORMAT PARQUET, PER_THREAD_OUTPUT TRUE)"
         )
+        self._read_dirs.append(out_dir)
         return self._spark.read.schema(self._schema).parquet(out_dir)
+
+    def _prune_read_dirs(self) -> None:
+        for d in self._read_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        self._read_dirs = []
 
     def close(self) -> None:
         self._con.close()
@@ -457,6 +476,7 @@ class SqliteBackend:
         self._spark: SparkSession | None = None
         self._schema: T.StructType | None = None
         self._keys: list[str] = []
+        self._read_dirs: list[str] = []
 
     @staticmethod
     def _sql_type(dt: T.DataType) -> str:
@@ -587,6 +607,14 @@ class SqliteBackend:
             try:
                 cur.execute("BEGIN")
                 rows = 0
+                # delete_keys first (same upsert-wins netting as
+                # LakeTable._merge_attempt when a key is in both)
+                for cols, batch in self._iter_batches(dk_files):
+                    key_idx = [cols.index(k) for k in self._keys]
+                    cur.executemany(
+                        f"DELETE FROM {t} WHERE {key_pred}",
+                        [tuple(r[i] for i in key_idx) for r in batch],
+                    )
                 for cols, batch in self._iter_batches(up_files):
                     key_idx = [cols.index(k) for k in self._keys]
                     cur.executemany(
@@ -597,12 +625,6 @@ class SqliteBackend:
                     ph = ", ".join("?" for _ in cols)
                     cur.executemany(f"INSERT INTO {t} ({collist}) VALUES ({ph})", batch)
                     rows += len(batch)
-                for cols, batch in self._iter_batches(dk_files):
-                    key_idx = [cols.index(k) for k in self._keys]
-                    cur.executemany(
-                        f"DELETE FROM {t} WHERE {key_pred}",
-                        [tuple(r[i] for i in key_idx) for r in batch],
-                    )
                 if epoch_id is not None:
                     lo, hi = lsn_range if lsn_range is not None else (None, None)
                     cur.execute(
@@ -660,7 +682,13 @@ class SqliteBackend:
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        # Same export-lifetime rule as DuckBackend.read(): prune the
+        # previous read's export so disk use is bounded at one export.
+        for d in self._read_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        self._read_dirs = []
         out_dir = self._spill("read")
+        self._read_dirs.append(out_dir)
         os.makedirs(out_dir, exist_ok=True)
         out = os.path.join(out_dir, "table.parquet")
         arrow_schema = to_arrow_schema(self._schema)

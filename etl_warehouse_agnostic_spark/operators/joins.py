@@ -61,7 +61,13 @@ def _auto_split_seconds(
     est_hottest = int(stats["max_n"] / sample_fraction)
     if est_hottest <= threshold_rows:
         return None
-    span = (stats["hi"] - stats["lo"]).total_seconds()
+    try:
+        span = (stats["hi"] - stats["lo"]).total_seconds()
+    except (AttributeError, TypeError):
+        # non-timestamp ts column (numeric ordering key): the bucketed
+        # pre-split path needs unix_micros anyway, so fall back to the
+        # plain-window path rather than crash the census
+        return None
     if span <= 0:
         return None  # all rows share one instant — bucketing cannot help
     n_buckets = max(2, -(-est_hottest // threshold_rows))  # ceil div

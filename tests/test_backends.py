@@ -388,3 +388,57 @@ def test_bounded_warehouse_loop_converges_and_heals(spark, tmpdir_path):
     CdcEngine(spark, None, ManifestStore(os.path.join(tmpdir_path, "ck2")),
               num_salts=4).run_warehouse(duck2, ChangeStreamSource(spark, df=chg), epoch_size=900)
     assert _final_state(duck.read()) == _final_state(duck2.read())
+
+
+def test_merge_key_in_both_upserts_and_deletes_nets_to_upsert(spark, tmpdir_path):
+    """ADVICE r4: a key present in BOTH upserts and delete_keys must
+    net to the upsert surviving — on every backend, matching
+    LakeTable._merge_attempt (the engine's split_ops never overlaps
+    keys, but the WarehouseBackend contract is for direct callers too)."""
+    schema = TRANSCRIPTS_SCHEMA_V1
+    for wtype in ("lake", "duckdb", "sqlite"):
+        wh = make_warehouse(
+            spark, {"type": wtype, "path": os.path.join(tmpdir_path, f"w-{wtype}")},
+            schema, KEY_COLS,
+        )
+        cols = [f.name for f in schema.fields]
+        seed = spark.createDataFrame(
+            [("c1", 0, "user", "old", None)], schema
+        ).select(*cols)
+        wh.merge(seed, epoch_id=1)
+        ups = spark.createDataFrame([("c1", 0, "user", "new", None)], schema)
+        dels = spark.createDataFrame([("c1", 0, "user", None, None)], schema) \
+            .select(*KEY_COLS)
+        wh.merge(ups, delete_keys=dels, epoch_id=2)
+        state = _final_state(wh.read())
+        assert state == [("c1", 0, "user", "new")], wtype
+
+
+def test_recover_warehouse_skips_null_lsn_lo_ledger_rows(spark, tmpdir_path):
+    """ADVICE r4: a legacy ledger row with NULL lsn_lo must NOT be
+    healed with a coerced lo=0 (false gap/overlap in pipeline_health);
+    it heals inline at replay with the loop's computed lo instead."""
+    schema = TRANSCRIPTS_SCHEMA_V1
+    duck = DuckBackend.create(
+        spark, os.path.join(tmpdir_path, "wh.duckdb"), schema, KEY_COLS
+    )
+    cols = [f.name for f in schema.fields]
+    df = spark.createDataFrame([("c1", 0, "user", "t", None)], schema).select(*cols)
+    duck.merge(df, epoch_id=1, lsn_range=None)  # ledger row with NULL lo/hi
+    duck._con.execute("UPDATE _epochs SET lsn_hi = 500 WHERE epoch_id = 1")
+
+    ck = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    eng = CdcEngine(spark, None, ck, num_salts=4)
+    assert eng.recover_warehouse(duck) == []  # NULL lsn_lo → not healed upfront
+    assert not ck.is_finalized(1)
+
+    # inline replay heal: the loop's computed lo survives, recorded hi wins
+    empty_changes = spark.createDataFrame(
+        [],
+        "lsn long, op string, conv_id string, turn_idx int, "
+        "role string, text string, ts timestamp",
+    )
+    res = eng.apply_epoch_warehouse(duck, empty_changes, epoch=1, lsn_range=(0, 900))
+    assert res.skipped
+    m = ck.get(1)
+    assert m["lineage"]["lsn_range"] == [0, 500]

@@ -184,3 +184,25 @@ def test_asof_auto_split_engages_on_hot_key_and_matches_plain(spark):
     assert _auto_split_seconds(lt, ["key"], 500, 0.5) is not None
     # a generous threshold leaves the plain window in place
     assert _auto_split_seconds(lt, ["key"], 10_000_000, 0.5) is None
+
+
+def test_asof_auto_census_falls_back_on_numeric_ts(spark):
+    """ADVICE r4: split_seconds='auto' (the default) must not crash on
+    a numeric (non-timestamp) ordering column — the census falls back
+    to the plain-window path, which handles numeric ts fine."""
+    from pyspark.sql import functions as F
+
+    from etl_warehouse_agnostic_spark.operators.joins import asof_join
+
+    left = spark.range(2000).select(
+        F.lit("k").alias("key"), F.col("id").alias("ts"), F.col("id").alias("pay")
+    )
+    right = spark.range(0, 2000, 100).select(
+        F.lit("k").alias("key"), F.col("id").alias("ts"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("ver"),
+    )
+    # tiny threshold so the census WOULD split if it could
+    out = asof_join(left, right, on=["key"], auto_split_threshold=10,
+                    auto_sample_fraction=0.5)
+    rows = {r.pay: r.r_ver for r in out.collect()}
+    assert rows[250] == "v200" and rows[99] == "v0" and rows[1999] == "v1900"
