@@ -250,6 +250,28 @@ def test_streaming_drains_into_warehouse_backend(spark, tmpdir_path, stream_dir)
     assert got2 == want
 
 
+def _wait_epochs(store, q, want, timeout=600):
+    """Drain-aware wait (de-flaked per r4 verdict): success is `want`
+    epochs in the manifest store (with 1 file per micro-batch, that IS
+    the drained state); keep polling while the query is alive — the
+    host has a documented slow mode where a fixed 180 s deadline
+    flaked — and surface the query's own error immediately if it died
+    rather than timing out blind."""
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if len(store.epochs()) >= want:
+            return
+        if q.exception() is not None:
+            raise q.exception()
+        time.sleep(0.5)
+    raise AssertionError(
+        f"only {len(store.epochs())}/{want} epochs after {timeout}s; "
+        f"status={q.status}"
+    )
+
+
 def test_continuous_trigger_kill_and_restart_converges(spark, tmpdir_path, stream_dir):
     """The reference runs forever on a schedule
     (airflow/dags/repsly_dag.py:309-343); the streaming analog is a
@@ -270,10 +292,7 @@ def test_continuous_trigger_kill_and_restart_converges(spark, tmpdir_path, strea
     try:
         # let it chew PART of the backlog (6 files, 1 per batch), then
         # kill it mid-stream
-        deadline = time.time() + 120
-        while len(store.epochs()) < 2 and time.time() < deadline:
-            time.sleep(0.5)
-        assert len(store.epochs()) >= 2, "stream never made progress"
+        _wait_epochs(store, q, 2)
     finally:
         q.stop()
     mid_epochs = store.epochs()
@@ -284,9 +303,7 @@ def test_continuous_trigger_kill_and_restart_converges(spark, tmpdir_path, strea
     assert s2.epoch_base == s1.epoch_base  # pinned across restarts
     q2 = s2.run_continuous(processing_time="1 second")
     try:
-        deadline = time.time() + 180
-        while len(store.epochs()) < 6 and time.time() < deadline:
-            time.sleep(0.5)
+        _wait_epochs(store, q2, 6)
     finally:
         q2.stop()
 
@@ -320,10 +337,7 @@ def test_continuous_trigger_warehouse_kill_restart(spark, tmpdir_path, stream_di
     s1 = StreamingCdcApply(eng, stream_dir, ckpt, max_files_per_trigger=1, warehouse=duck)
     q = s1.run_continuous(processing_time="1 second")
     try:
-        deadline = time.time() + 120
-        while len(store.epochs()) < 2 and time.time() < deadline:
-            time.sleep(0.5)
-        assert len(store.epochs()) >= 2
+        _wait_epochs(store, q, 2)
     finally:
         q.stop()
     assert len(store.epochs()) < 6
@@ -331,9 +345,7 @@ def test_continuous_trigger_warehouse_kill_restart(spark, tmpdir_path, stream_di
     s2 = StreamingCdcApply(eng, stream_dir, ckpt, max_files_per_trigger=1, warehouse=duck)
     q2 = s2.run_continuous(processing_time="1 second")
     try:
-        deadline = time.time() + 180
-        while len(store.epochs()) < 6 and time.time() < deadline:
-            time.sleep(0.5)
+        _wait_epochs(store, q2, 6)
     finally:
         q2.stop()
 
