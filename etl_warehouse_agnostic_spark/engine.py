@@ -111,6 +111,7 @@ class CdcEngine:
         arrow_projection: bool = True,
         source_name: str = "transcripts_changes",
         schema_registry: dict[int, list[str]] | None = None,
+        silver_models: list | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -127,6 +128,12 @@ class CdcEngine:
         # evolve to) the columns of the max writer schema it contains —
         # physical storage of the change log may hold the union schema.
         self.schema_registry = schema_registry
+        # Incremental silver models (silver.SilverModel) maintained by
+        # the lake tail loop: each bronze epoch's staged delta is
+        # transformed and merged into the model's own table under the
+        # same epoch id (the dbt-per-cycle analog). Lake path only —
+        # the models feed on the staged delta the lake loop writes.
+        self.silver_models = list(silver_models or [])
 
     # ---------------- recovery (T2) ----------------
 
@@ -157,8 +164,69 @@ class CdcEngine:
                     manifest.setdefault("committed_at", snap["committed_at"])
                     self.checkpoints.finalize(epoch, manifest)
                     healed.append(epoch)
+        self._recover_silver()
         self._sweep_staging()
         return healed
+
+    def _staged_schema(self, staging_dir: str) -> T.StructType | None:
+        """Reconstruct the schema of a retained staging dir from one
+        parquet footer (driver-side metadata read): current table
+        columns that are present, plus whatever envelope columns the
+        delta carried. Returns None if the dir holds no data files."""
+        import pyarrow.parquet as pq
+
+        sample = None
+        for root, _, fns in os.walk(staging_dir):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    sample = os.path.join(root, fn)
+                    break
+            if sample:
+                break
+        if sample is None:
+            return None
+        names = set(pq.ParquetFile(sample).metadata.schema.names)
+        env_types = {"op": T.StringType(), "lsn": T.LongType(), "schema_ver": T.IntegerType()}
+        fields = [f for f in self.table.schema.fields if f.name in names]
+        fields += [
+            T.StructField(c, env_types[c], True)
+            for c in ("op", "lsn", "schema_ver")
+            if c in names
+        ]
+        return T.StructType(fields)
+
+    def _apply_silver(self, staged: DataFrame, epoch: int) -> None:
+        for model in self.silver_models:
+            model.apply_epoch(staged, epoch)
+
+    def _recover_silver(self) -> None:
+        """Catch silver models up from retained staging dirs — the
+        crash window between bronze manifest-finalize and silver apply
+        (or between two models). Epoch-idempotent merges make the
+        replay safe; the staging dir is only swept once every model
+        has committed the epoch."""
+        if not self.silver_models or self.table is None:
+            return
+        staging_root = os.path.join(self.table.path, "_staging")
+        if not os.path.isdir(staging_root):
+            return
+        for d in sorted(os.listdir(staging_root)):
+            if not d.startswith("e"):
+                continue
+            try:
+                epoch = int(d[1:])
+            except ValueError:
+                continue
+            if not self.checkpoints.is_finalized(epoch):
+                continue  # bronze itself will replay this epoch
+            if all(m.epoch_committed(epoch) for m in self.silver_models):
+                continue
+            staging_dir = os.path.join(staging_root, d)
+            schema = self._staged_schema(staging_dir)
+            if schema is None:
+                continue
+            staged = self.table.read_bucketed(staging_dir, schema)
+            self._apply_silver(staged, epoch)
 
     def _sweep_staging(self) -> None:
         """Remove staged epoch deltas whose epoch is already finalized —
@@ -174,7 +242,9 @@ class CdcEngine:
                 epoch = int(d[1:])
             except ValueError:
                 continue
-            if self.checkpoints.is_finalized(epoch):
+            if self.checkpoints.is_finalized(epoch) and all(
+                m.epoch_committed(epoch) for m in self.silver_models
+            ):
                 shutil.rmtree(os.path.join(staging_root, d), ignore_errors=True)
 
     # ---------------- one epoch ----------------
@@ -311,6 +381,11 @@ class CdcEngine:
         manifest["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         manifest["snapshot_version"] = res.version
         self.checkpoints.finalize(epoch, manifest)
+        # Incremental silver maintenance rides the SAME staged delta
+        # (no extra pass over the slice); the staging dir survives
+        # until every model has committed the epoch so a crash here
+        # replays through _recover_silver.
+        self._apply_silver(staged, epoch)
         shutil.rmtree(staging_dir, ignore_errors=True)
         return EpochResult(
             epoch=epoch, skipped=res.skipped, rows_read=rows_read,

@@ -924,17 +924,17 @@ def q_warehouse_parity(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def q_silver_model(spark, sf_dir):
-    """A composed silver-enrichment model: LWW dedup → drop deletes →
-    ~25 chained scalar transforms in one projection — the end-to-end
-    shape of the reference's curated models (territory split
-    client_notes.sql:183-193, case-insensitive flag battery :197-213,
-    money/date casts bills.sql:103-107,219-247, toYYYYMM partitions),
-    ending with the P5 lineage stamp
+def _silver_chain(cur, ingest_epoch):
+    """~25 chained scalar transforms in one projection — the
+    end-to-end shape of the reference's curated models (territory
+    split client_notes.sql:183-193, case-insensitive flag battery
+    :197-213, money/date casts bills.sql:103-107,219-247, toYYYYMM
+    partitions), ending with the P5 lineage stamp
     (_source_system/_endpoint/_ingest_epoch — the reference's metadata
-    columns on every landed row). Every primitive is the named
+    columns on every landed row; ``_ingest_epoch`` is the REAL cycle
+    id when maintained incrementally). Every primitive is the named
     operator from functions/scalars.py; the whole chain stays in one
-    WholeStageCodegen projection after the dedup shuffle."""
+    WholeStageCodegen projection."""
     from etl_warehouse_agnostic_spark.functions.scalars import (
         multi_if,
         null_if_dirty,
@@ -945,8 +945,6 @@ def q_silver_model(spark, sf_dir):
         try_decimal,
     )
 
-    chg = _changes(spark, sf_dir)
-    cur = lww_dedup_window(chg, KEYS, ORDER, num_salts=8).where(F.col("op") != "D")
     k_val = F.get_json_object("text", "$.k")
     ms = F.format_string("/Date(%d+0000)/", F.unix_millis(F.col("ts").cast("timestamp")))
     return cur.select(
@@ -987,8 +985,75 @@ def q_silver_model(spark, sf_dir):
         F.greatest(F.col("turn_idx"), F.lit(1)).alias("turn_floor"),
         F.lit("events").alias("_source_system"),
         F.lit("transcripts_changes").alias("_endpoint"),
-        F.lit(42).alias("_ingest_epoch"),
+        ingest_epoch.cast("int").alias("_ingest_epoch"),
     )
+
+
+_SILVER_EPOCH_SIZE = 2000
+
+
+def q_silver_incremental(spark, sf_dir):
+    """Incremental silver-layer materialization — the dbt-per-cycle
+    analog (client_notes_raw.sql:55-60 incremental predicate, run per
+    cycle by repsly_dag.py:643-1040): the engine tail loop maintains a
+    curated table from each epoch's staged delta via
+    ``SilverModel.apply_epoch`` (transform the net upserts, propagate
+    deletes by key, epoch-idempotent MERGE), across ≥3 epochs plus a
+    replay that must be a version-stable no-op. The model is the full
+    25-transform chain with the REAL per-cycle ``_ingest_epoch`` stamp.
+    The oracle recomputes the entire model from scratch in SQL
+    (deriving each winner's cycle from its lsn slice), so the driver
+    hash proves incremental maintenance == full rebuild."""
+    from pyspark.sql import types as T
+
+    from etl_warehouse_agnostic_spark.engine import CdcEngine
+    from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
+    from etl_warehouse_agnostic_spark.lake.table import LakeTable
+    from etl_warehouse_agnostic_spark.silver import SilverModel
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+
+    chg = _changes(spark, sf_dir).localCheckpoint()
+    bronze_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", chg.schema["ts"].dataType, True),
+        ]
+    )
+
+    def transform(upserts, epoch):
+        return _silver_chain(upserts, F.lit(epoch))
+
+    # silver schema = the transform's output shape (derived, not typed twice)
+    staged_shape = T.StructType(
+        list(bronze_schema.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+    silver_schema = transform(spark.createDataFrame([], staged_shape), 0).schema
+
+    root = tempfile.mkdtemp(prefix="etlwa-silver-")
+    try:
+        bronze = LakeTable.create(
+            spark, os.path.join(root, "bronze"), bronze_schema, KEYS, num_buckets=8
+        )
+        silver = LakeTable.create(
+            spark, os.path.join(root, "silver"), silver_schema, KEYS, num_buckets=8
+        )
+        model = SilverModel(silver, transform, name="turns_silver")
+        ck = ManifestStore(os.path.join(root, "ck"))
+        eng = CdcEngine(spark, bronze, ck, num_salts=8, silver_models=[model])
+        src = ChangeStreamSource(spark, df=chg)
+        results = eng.run(src, epoch_size=_SILVER_EPOCH_SIZE)
+        assert len(results) >= 3, "need ≥3 epochs of genuine incremental maintenance"
+        assert silver.committed_epochs() == bronze.committed_epochs()
+        v = silver.latest_version()
+        assert eng.run(src, epoch_size=_SILVER_EPOCH_SIZE) == []  # replay no-op
+        assert silver.latest_version() == v
+        return silver.read().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_multi_source_converge(spark, sf_dir):
@@ -1158,7 +1223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warehouse_parity": q_warehouse_parity,
     "multi_source_converge": q_multi_source_converge,
     "time_partition_scan": q_time_partition_scan,
-    "silver_model": q_silver_model,
+    "silver_incremental": q_silver_incremental,
     "lww_dedup_strategies": q_lww_dedup_strategies,
     "lww_dedup_nulls_last": q_lww_dedup_nulls_last,
     "cdc_final_state": q_cdc_final_state,
@@ -1669,7 +1734,11 @@ ORACLES: dict[str, str] = {
                'src_a:ran>skipped_fresh,src_b:ran>ran' AS control_plane
         FROM ({LWW_SQL}) WHERE op <> 'D'
     """,
-    "silver_model": f"""
+    # full-rebuild truth for the INCREMENTALLY-maintained silver table:
+    # recompute the whole model from scratch; _ingest_epoch = the cycle
+    # whose 2000-LSN slice contained the winning row (dense-lsn fixture,
+    # same assumption as pipeline_health).
+    "silver_incremental": f"""
         WITH cur AS (SELECT * FROM ({LWW_SQL}) WHERE op <> 'D'),
         en AS (SELECT *, json_extract_string(text, '$.k') AS k_val FROM cur)
         SELECT conv_id, turn_idx,
@@ -1705,7 +1774,7 @@ ORACLES: dict[str, str] = {
                greatest(turn_idx, 1) AS turn_floor,
                'events' AS _source_system,
                'transcripts_changes' AS _endpoint,
-               42 AS _ingest_epoch
+               CAST(floor((lsn - 1) / 2000) AS INT) + 1 AS _ingest_epoch
         FROM en
     """,
     "time_partition_scan": f"""

@@ -1,0 +1,85 @@
+"""Incremental silver-layer materialization (the dbt-per-cycle analog).
+
+The reference's transform stage runs dbt models *per extraction cycle*
+with incremental predicates (dbt/models/raw/repsly/client_notes_raw.sql:55-60,
+orchestrated per-cycle at airflow/dags/repsly_dag.py:643-1040): each
+cycle transforms ONLY the rows that landed since the model's own
+watermark and MERGEs them into the curated table, keyed by the same
+unique key as the raw table. This module is the Spark-native analog,
+maintained by the CDC tail loop itself: after each bronze epoch
+commits, the model transforms that epoch's staged delta (the deduped
+net ops the engine already wrote for per-bucket lineage) and MERGEs
+the result into its own LakeTable under the SAME epoch id — so silver
+maintenance is exactly-once, resumable, and O(delta) per cycle, never
+a rescan of bronze.
+
+Scale design (100 TB): the staged delta is already bucketed and tiny
+relative to the slice; the transform is a row-wise projection (one
+WholeStageCodegen span, no extra shuffle — the delta arrives bucketed
+on the merge key); the silver MERGE is the same copy-on-write
+affected-buckets-only merge bronze uses. Cost per cycle is
+O(delta + affected silver buckets), independent of bronze size.
+
+Crash contract: bronze merge + manifest finalize happen first; the
+staging delta is deleted only after EVERY attached model has committed
+the epoch. A crash anywhere in between retains the staged files, and
+``CdcEngine.recover()`` replays them through the model's
+epoch-idempotent merge — same write-ahead ordering as the bronze path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from etl_warehouse_agnostic_spark.lake.table import LakeTable, MergeResult
+from etl_warehouse_agnostic_spark.operators.dedup import split_ops
+
+
+class SilverModel:
+    """One incrementally-maintained curated table.
+
+    ``transform(upserts, epoch) -> DataFrame`` maps the epoch's net
+    upserts (bronze payload columns + the ``op``/``lsn`` envelope) to
+    silver rows; it MUST preserve the silver table's key columns and
+    may stamp per-cycle lineage from ``epoch``. Deletes propagate by
+    key: a bronze key deleted in the epoch is deleted from silver.
+
+    The transform must be row-wise deterministic (each output row a
+    function of its input row alone) — that is what makes incremental
+    maintenance equal a full rebuild, and what the driver oracle row
+    (``silver_incremental``) verifies end-to-end.
+    """
+
+    def __init__(
+        self,
+        table: LakeTable,
+        transform: Callable[[DataFrame, int], DataFrame],
+        name: str = "silver",
+    ):
+        self.table = table
+        self.transform = transform
+        self.name = name
+
+    def epoch_committed(self, epoch: int) -> bool:
+        return self.table.epoch_committed(epoch)
+
+    def apply_epoch(self, staged: DataFrame, epoch: int) -> MergeResult:
+        """Apply one bronze epoch's staged delta to the silver table —
+        epoch-idempotent (a replayed epoch id is a skipped no-op before
+        any mutation, same contract as every other sink)."""
+        if self.table.epoch_committed(epoch):
+            return MergeResult(0, epoch, 0, 0, 0, skipped=True)
+        upserts, deletes = split_ops(staged)
+        out = self.transform(upserts, epoch)
+        missing = [k for k in self.table.key_cols if k not in out.columns]
+        if missing:
+            raise ValueError(
+                f"silver model {self.name!r}: transform dropped key column(s) {missing}"
+            )
+        return self.table.merge(
+            out,
+            delete_keys=deletes.select(*self.table.key_cols),
+            epoch_id=epoch,
+        )

@@ -28,7 +28,7 @@ SF = "/root/testdata/sf0.001"
 SKIP = {
     "cdc_engine_e2e", "warehouse_parity", "multi_source_converge",
     "time_partition_scan", "full_refresh", "csv_roundtrip",
-    "pipeline_health",
+    "pipeline_health", "silver_incremental",
 }
 
 # Queries whose FINAL result is a global ≤3-row (or top-k) aggregate —
@@ -78,3 +78,17 @@ def test_dedup_shuffle_key_is_hash_not_text(spark, name):
         if l.strip().startswith("Aggregate") and "regexp_replace" in l
     ]
     assert not bad, f"{name}: aggregate keyed on raw text: {bad}"
+
+
+def test_silver_chain_is_one_pure_projection(spark):
+    """The 25-transform silver chain must stay a single shuffle-free
+    JVM projection (no Python boundary, no exchange) — the per-cycle
+    incremental cost is then O(delta) scan + the bucket merge."""
+    from pyspark.sql import functions as F
+
+    from etl_warehouse_agnostic_spark.harness import _changes, _silver_chain
+
+    df = _silver_chain(_changes(spark, SF), F.lit(7))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan, "silver transform must not shuffle"

@@ -1,0 +1,132 @@
+"""Incremental silver-layer materialization: per-epoch maintenance
+from the staged delta must equal a full rebuild from the batch LWW
+truth, survive a crash between bronze finalize and silver apply, and
+be a no-op on replay."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_warehouse_agnostic_spark.engine import CdcEngine
+from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
+from etl_warehouse_agnostic_spark.lake.table import LakeTable
+from etl_warehouse_agnostic_spark.operators.dedup import lww_dedup_window
+from etl_warehouse_agnostic_spark.schemas import KEY_COLS, ORDER_COLS, TRANSCRIPTS_SCHEMA_V1
+from etl_warehouse_agnostic_spark.silver import SilverModel
+from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+from etl_warehouse_agnostic_spark.sources.generator import generate_changes
+
+SILVER_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role_u", T.StringType(), True),
+        T.StructField("text_len", T.IntegerType(), True),
+        T.StructField("_ingest_epoch", T.IntegerType(), True),
+    ]
+)
+
+EPOCH_SIZE = 1000
+
+
+def _transform(upserts, epoch):
+    return upserts.select(
+        "conv_id",
+        "turn_idx",
+        F.upper("role").alias("role_u"),
+        F.length("text").alias("text_len"),
+        F.lit(epoch).cast("int").alias("_ingest_epoch"),
+    )
+
+
+def _expected(chg):
+    """Full-rebuild truth: transform of the global LWW winners, with
+    _ingest_epoch derived from the winner's lsn slice."""
+    cur = lww_dedup_window(chg, KEY_COLS, ORDER_COLS, num_salts=4).where(F.col("op") != "D")
+    return sorted(
+        (r.conv_id, r.turn_idx, r.role_u, r.text_len, r.epoch)
+        for r in cur.select(
+            "conv_id", "turn_idx",
+            F.upper("role").alias("role_u"),
+            F.length("text").alias("text_len"),
+            (F.floor((F.col("lsn") - 1) / EPOCH_SIZE) + 1).cast("int").alias("epoch"),
+        ).collect()
+    )
+
+
+def _silver_rows(silver):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.role_u, r.text_len, r._ingest_epoch)
+        for r in silver.read().collect()
+    )
+
+
+def _setup(spark, root, transform=_transform):
+    bronze = LakeTable.create(
+        spark, os.path.join(root, "bronze"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=4
+    )
+    silver = LakeTable.create(
+        spark, os.path.join(root, "silver"), SILVER_SCHEMA, KEY_COLS, num_buckets=4
+    )
+    model = SilverModel(silver, transform, name="turns_silver")
+    ck = ManifestStore(os.path.join(root, "ck"))
+    eng = CdcEngine(spark, bronze, ck, num_salts=4, silver_models=[model])
+    return bronze, silver, model, eng
+
+
+def test_silver_incremental_equals_full_rebuild(spark, tmpdir_path):
+    chg = generate_changes(spark, 4000, n_convs=60, turns_per_conv=8, seed=21).localCheckpoint()
+    bronze, silver, model, eng = _setup(spark, tmpdir_path)
+    results = eng.run(ChangeStreamSource(spark, df=chg), epoch_size=EPOCH_SIZE)
+    assert len(results) == 4  # ≥3 epochs of genuine incremental maintenance
+    assert _silver_rows(silver) == _expected(chg)
+    # every bronze epoch committed to silver too, staging fully swept
+    assert silver.committed_epochs() == bronze.committed_epochs()
+    staging = os.path.join(bronze.path, "_staging")
+    assert not os.path.isdir(staging) or not os.listdir(staging)
+
+
+def test_silver_replay_is_noop(spark, tmpdir_path):
+    chg = generate_changes(spark, 3000, n_convs=40, turns_per_conv=8, seed=22).localCheckpoint()
+    bronze, silver, model, eng = _setup(spark, tmpdir_path)
+    src = ChangeStreamSource(spark, df=chg)
+    eng.run(src, epoch_size=EPOCH_SIZE)
+    v = silver.latest_version()
+    assert eng.run(src, epoch_size=EPOCH_SIZE) == []
+    assert silver.latest_version() == v
+    assert _silver_rows(silver) == _expected(chg)
+
+
+def test_silver_crash_between_finalize_and_apply_recovers(spark, tmpdir_path):
+    """Kill the cycle AFTER bronze manifest-finalize but BEFORE the
+    silver merge of epoch 3: the staged delta must be retained, and the
+    next run must catch silver up from it (exactly-once) before
+    continuing the tail."""
+    chg = generate_changes(spark, 4000, n_convs=60, turns_per_conv=8, seed=23).localCheckpoint()
+    boom = {"armed": True}
+
+    def flaky_transform(upserts, epoch):
+        if boom["armed"] and epoch == 3:
+            raise RuntimeError("injected crash before silver apply")
+        return _transform(upserts, epoch)
+
+    bronze, silver, model, eng = _setup(spark, tmpdir_path, transform=flaky_transform)
+    src = ChangeStreamSource(spark, df=chg)
+    try:
+        eng.run(src, epoch_size=EPOCH_SIZE)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+
+    # bronze epoch 3 is finalized, silver stopped at 2, staging retained
+    assert eng.checkpoints.is_finalized(3)
+    assert silver.committed_epochs() == [1, 2]
+    staging = os.path.join(bronze.path, "_staging")
+    assert os.path.isdir(os.path.join(staging, "e00000003"))
+
+    boom["armed"] = False
+    eng.run(src, epoch_size=EPOCH_SIZE)  # recover() catches silver up, tail continues
+    assert silver.committed_epochs() == bronze.committed_epochs() == [1, 2, 3, 4]
+    assert _silver_rows(silver) == _expected(chg)
+    assert not os.path.isdir(staging) or not os.listdir(staging)
