@@ -452,27 +452,52 @@ class SqliteBackend:
     every statement flows through a DB-API connection exactly as it
     would through psycopg/JDBC.
 
-    Bulk transfer: Spark exports the delta as parquet
-    (executor-parallel, shared storage on a cluster); the loader then
-    streams Arrow record batches of ≤ ``batch_rows`` rows through
-    ``executemany`` — memory O(batch), never O(delta). On a real
-    Postgres this loop is replaced by ``COPY FROM`` of the same files;
-    SQLite has no bulk file ingest, so the bounded batch loop IS its
-    COPY. Timestamps are stored as epoch-microsecond INTEGERs (SQLite
-    has no timestamp type) and restored on ``read()``.
+    Two load paths:
+
+    - **Bounded driver loop** (default; the sqlite-only fallback): the
+      loader streams Arrow record batches of ≤ ``batch_rows`` rows from
+      the exported parquet through ``executemany`` — memory O(batch),
+      never O(delta), but driver CPU O(delta).
+    - **Executor-parallel staging load** (``parallel_load=True``; the
+      scale path for any target that accepts concurrent connections —
+      i.e. the real Postgres/JDBC idiom): every Spark partition opens
+      its OWN DB-API connection and bulk-inserts its Arrow batches into
+      a per-epoch STAGING table (on Postgres: per-partition ``COPY``);
+      the driver then swaps staging into the target inside ONE
+      transaction (delete matched keys → insert → epoch ledger).
+      Exactly-once survives Spark's at-least-once task retries because
+      a retried task re-commits an identical row set and the swap
+      inserts ``SELECT DISTINCT``; a crash before the swap leaves only
+      an orphan staging table (dropped on the next open), never a
+      half-applied target — the ledger row is written inside the swap
+      transaction only.
+
+    Timestamps are stored as epoch-microsecond INTEGERs (SQLite has no
+    timestamp type) and restored on ``read()``.
     """
 
-    def __init__(self, db_path: str, table_name: str = "target", batch_rows: int = 65536):
+    def __init__(self, db_path: str, table_name: str = "target",
+                 batch_rows: int = 65536, parallel_load: bool = False):
         import sqlite3
 
         self.db_path = db_path
         self.table_name = table_name
         self.batch_rows = batch_rows
+        self.parallel_load = parallel_load
         self.spill_dir = db_path + ".spill"
         # autocommit mode: transactions are managed explicitly with
         # BEGIN/COMMIT (python sqlite3's implicit transaction start
         # would collide with our explicit BEGIN)
         self._con = sqlite3.connect(db_path, isolation_level=None)
+        self._last_load_pids: list[int] = []
+        if parallel_load:
+            # WAL lets the executor connections interleave with the
+            # driver connection without "database is locked" storms
+            # (writers still serialize on the file lock, as they would
+            # NOT on a real server target — that is sqlite's limit,
+            # not the load path's).
+            self._con.execute("PRAGMA journal_mode=WAL")
+            self._con.execute("PRAGMA busy_timeout=120000")
         self._spark: SparkSession | None = None
         self._schema: T.StructType | None = None
         self._keys: list[str] = []
@@ -496,11 +521,19 @@ class SqliteBackend:
         path: str,
         schema: T.StructType,
         key_cols: list[str],
-        **_: Any,
+        **kw: Any,
     ) -> "SqliteBackend":
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        b = cls(path)
+        b = cls(path, **kw)
         b._spark = spark
+        # Orphan staging tables (crash between executor load and swap)
+        # are garbage by construction — the epoch ledger row is only
+        # written inside the swap transaction — so reclaim them here.
+        for (name,) in b._con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table' "
+            "AND name LIKE '~_stage~_%' ESCAPE '~'"
+        ).fetchall():
+            b._con.execute(f'DROP TABLE "{name}"')
         b._schema = schema
         b._keys = list(key_cols)
         cols = ", ".join(f'"{f.name}" {cls._sql_type(f.dataType)}' for f in schema.fields)
@@ -588,6 +621,118 @@ class SqliteBackend:
     def _spill(self, tag: str) -> str:
         return os.path.join(self.spill_dir, f"{tag}-{uuid.uuid4().hex[:8]}")
 
+    # -- executor-parallel staging load (the Postgres/JDBC idiom) ------
+
+    def _load_files_to_staging(
+        self, files: list[str], schema: T.StructType, stage_table: str
+    ) -> list[int]:
+        """Load exported parquet into a staging table with ONE DB-API
+        connection PER SPARK PARTITION (``mapInArrow`` keeps the
+        transfer Arrow-batched end to end; on Postgres each partition's
+        insert loop is a ``COPY``). Each partition commits its complete
+        batch set or nothing (connection close without commit rolls
+        back), so a retried task re-commits an identical row set — the
+        swap's DISTINCT makes that harmless. Returns the distinct
+        python-worker PIDs that did the loading (driver-side proof the
+        work ran on executors)."""
+        if not files:
+            return []
+        db_path = self.db_path
+        dtypes = [f.dataType for f in schema.fields]
+        names = [f.name for f in schema.fields]
+        collist = ", ".join(f'"{c}"' for c in names)
+        ph = ", ".join("?" for _ in names)
+        ins = f'INSERT INTO "{stage_table}" ({collist}) VALUES ({ph})'
+
+        def load(batches):
+            import os as _os
+            import sqlite3 as _sq
+
+            import pyarrow as pa
+
+            con = _sq.connect(db_path, timeout=120, isolation_level=None)
+            try:
+                con.execute("PRAGMA busy_timeout=120000")
+                cur = con.cursor()
+                cur.execute("BEGIN")
+                n = 0
+                for batch in batches:
+                    series = [
+                        _pa_to_py(batch.column(i), dtypes[i])
+                        for i in range(batch.num_columns)
+                    ]
+                    cur.executemany(ins, list(zip(*series)))
+                    n += batch.num_rows
+                cur.execute("COMMIT")
+            finally:
+                con.close()
+            yield pa.RecordBatch.from_pydict({"rows": [n], "pid": [_os.getpid()]})
+
+        from pyspark.sql import functions as F
+
+        out = (
+            self._spark.read.schema(schema)
+            .parquet(*files)
+            .mapInArrow(load, "rows long, pid long")
+        )
+        pids = out.agg(F.collect_set("pid")).first()[0]
+        return sorted(pids)
+
+    def _merge_parallel(self, up_files, dk_files, epoch_id, lsn_range) -> int:
+        """Staging-table MERGE: executor-parallel loads, then ONE
+        driver transaction swaps staging into the target (delete
+        matched keys → insert DISTINCT → epoch ledger → drop staging).
+        The ledger write rides the swap, so exactly-once is unchanged;
+        an orphan staging table from a crash is reclaimed at the next
+        ``create``."""
+        t = self.table_name
+        sid = uuid.uuid4().hex[:8]
+        up_st, dk_st = f"_stage_up_{sid}", f"_stage_dk_{sid}"
+        key_struct = T.StructType([self._schema[k] for k in self._keys])
+        self._con.execute(
+            f'CREATE TABLE "{up_st}" ('
+            + ", ".join(f'"{f.name}" {self._sql_type(f.dataType)}' for f in self._schema.fields)
+            + ")"
+        )
+        self._con.execute(
+            f'CREATE TABLE "{dk_st}" ('
+            + ", ".join(f'"{f.name}" {self._sql_type(f.dataType)}' for f in key_struct.fields)
+            + ")"
+        )
+        self._last_load_pids = self._load_files_to_staging(up_files, self._schema, up_st)
+        self._last_load_pids += self._load_files_to_staging(dk_files, key_struct, dk_st)
+        keys_sql = ", ".join(f'"{k}"' for k in self._keys)
+        collist = ", ".join(f'"{f.name}"' for f in self._schema.fields)
+        cur = self._con.cursor()
+        try:
+            cur.execute("BEGIN IMMEDIATE")
+            # delete_keys first — upsert-wins netting, same as every
+            # other backend's merge
+            cur.execute(
+                f'DELETE FROM {t} WHERE ({keys_sql}) IN (SELECT {keys_sql} FROM "{dk_st}")'
+            )
+            cur.execute(
+                f'DELETE FROM {t} WHERE ({keys_sql}) IN (SELECT {keys_sql} FROM "{up_st}")'
+            )
+            cur.execute(
+                f'INSERT INTO {t} ({collist}) SELECT DISTINCT {collist} FROM "{up_st}"'
+            )
+            rows = cur.execute("SELECT changes()").fetchone()[0]
+            if epoch_id is not None:
+                lo, hi = lsn_range if lsn_range is not None else (None, None)
+                cur.execute(
+                    "INSERT INTO _epochs (epoch_id, rows_written, lsn_lo, lsn_hi) "
+                    "VALUES (?, ?, ?, ?)",
+                    [epoch_id, rows, lo, hi],
+                )
+            cur.execute(f'DROP TABLE "{up_st}"')
+            cur.execute(f'DROP TABLE "{dk_st}"')
+            cur.execute("COMMIT")
+        except Exception:
+            cur.execute("ROLLBACK")
+            raise
+        return rows
+
     def merge(self, upserts, delete_keys=None, epoch_id=None, lsn_range=None) -> MergeResult:
         if epoch_id is not None and self.epoch_committed(epoch_id):
             return MergeResult(0, epoch_id, 0, 0, 0, skipped=True)
@@ -601,6 +746,9 @@ class SqliteBackend:
                               dk_dir)
                 if dk_dir is not None else []
             )
+            if self.parallel_load:
+                rows = self._merge_parallel(up_files, dk_files, epoch_id, lsn_range)
+                return MergeResult(0, epoch_id, rows, 0, 0)
             t = self.table_name
             key_pred = " AND ".join(f'"{k}" = ?' for k in self._keys)
             cur = self._con.cursor()
@@ -649,6 +797,40 @@ class SqliteBackend:
         try:
             files = _export_delta(df, self._schema, full_dir)
             t = self.table_name
+            if self.parallel_load:
+                sid = uuid.uuid4().hex[:8]
+                st = f"_stage_full_{sid}"
+                self._con.execute(
+                    f'CREATE TABLE "{st}" ('
+                    + ", ".join(
+                        f'"{f.name}" {self._sql_type(f.dataType)}'
+                        for f in self._schema.fields
+                    )
+                    + ")"
+                )
+                self._last_load_pids = self._load_files_to_staging(files, self._schema, st)
+                collist = ", ".join(f'"{f.name}"' for f in self._schema.fields)
+                cur = self._con.cursor()
+                try:
+                    cur.execute("BEGIN IMMEDIATE")
+                    cur.execute(f"DELETE FROM {t}")
+                    cur.execute(
+                        f'INSERT INTO {t} ({collist}) SELECT DISTINCT {collist} FROM "{st}"'
+                    )
+                    rows = cur.execute("SELECT changes()").fetchone()[0]
+                    if epoch_id is not None:
+                        lo, hi = lsn_range if lsn_range is not None else (None, None)
+                        cur.execute(
+                            "INSERT INTO _epochs (epoch_id, rows_written, lsn_lo, lsn_hi) "
+                            "VALUES (?, ?, ?, ?)",
+                            [epoch_id, rows, lo, hi],
+                        )
+                    cur.execute(f'DROP TABLE "{st}"')
+                    cur.execute("COMMIT")
+                except Exception:
+                    cur.execute("ROLLBACK")
+                    raise
+                return MergeResult(0, epoch_id, rows, 0, 0)
             cur = self._con.cursor()
             try:
                 cur.execute("BEGIN")
@@ -739,5 +921,6 @@ def make_warehouse(
     if wtype == "duckdb":
         return DuckBackend.create(spark, path, schema, key_cols)
     if wtype == "sqlite":
-        return SqliteBackend.create(spark, path, schema, key_cols)
+        kw = {k: v for k, v in config.items() if k not in ("type", "path")}
+        return SqliteBackend.create(spark, path, schema, key_cols, **kw)
     raise ValueError(f"unsupported warehouse type: {wtype!r}")
