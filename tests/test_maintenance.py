@@ -254,3 +254,48 @@ def test_concurrent_merges_retry_and_both_land(spark, tmpdir_path):
     for paths in snap["files"].values():
         for p in paths:
             assert os.path.exists(os.path.join(t.path, p))
+
+
+def test_tail_loop_auto_compaction_bounds_file_count(spark, tmpdir_path):
+    """VERDICT r4 #4: with the maintenance hook armed, a long tail run
+    (10 epochs, tiny max_records_per_file to force fragmentation) must
+    keep the physical file count bounded WITHOUT changing table content
+    or the committed-epoch ledger — versus an identical run with the
+    hook disabled."""
+    from etl_warehouse_agnostic_spark.engine import CdcEngine
+    from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
+    from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
+    from etl_warehouse_agnostic_spark.sources.generator import generate_changes
+
+    chg = generate_changes(spark, 5000, n_convs=300, turns_per_conv=16, seed=41).localCheckpoint()
+
+    def run(name, maintenance_every):
+        t = LakeTable.create(
+            spark, os.path.join(tmpdir_path, name), TRANSCRIPTS_SCHEMA_V1,
+            KEY_COLS, num_buckets=4,
+        )
+        t.max_records_per_file = 64  # force many tiny files per epoch
+        eng = CdcEngine(
+            spark, t, ManifestStore(os.path.join(tmpdir_path, f"ck-{name}")),
+            num_salts=4, maintenance_every=maintenance_every,
+        )
+        res = eng.run(ChangeStreamSource(spark, df=chg), epoch_size=500)
+        assert len(res) == 10
+        return t, eng
+
+    plain_t, _ = run("plain", None)
+    maint_t, maint_eng = run("maint", 5)
+
+    # the hook actually fired and compacted something
+    assert maint_eng.maintenance_log, "maintenance hook never fired"
+    assert any(r["buckets_compacted"] > 0 for r in maint_eng.maintenance_log)
+
+    def live_files(t):
+        return sum(len(v) for v in t.snapshot()["files"].values())
+
+    # bounded: strictly fewer live files than the unmaintained twin
+    assert live_files(maint_t) < live_files(plain_t)
+
+    # content and exactly-once ledger untouched by compaction
+    assert _content_hash(maint_t.read()) == _content_hash(plain_t.read())
+    assert maint_t.committed_epochs() == plain_t.committed_epochs()
