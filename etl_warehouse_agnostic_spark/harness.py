@@ -594,12 +594,74 @@ def q_flatten_rules(spark, sf_dir):
 
 
 def q_windowed_op_counts(spark, sf_dir):
-    """Event-time tumbling-window op census — the same Column
-    expressions the streaming path runs (withWatermark is inert on a
-    batch frame), oracle-checked against DuckDB time_bucket."""
+    """T6 + the custom stateful operator in ONE tagged row (closing the
+    last pytest-only component, r4 verdict #5): 'window' rows are the
+    event-time tumbling-window op census (same Column expressions the
+    streaming path runs; withWatermark inert on batch); 'ledger' rows
+    are the REAL ``applyInPandasWithState`` conversation ledger drained
+    over a multi-micro-batch file stream (state crosses batches), one
+    final row per conversation. The oracle re-derives both sections in
+    SQL — the hash fails iff the windows OR the stateful ledger's
+    cross-batch LWW state diverge from batch truth."""
+    from etl_warehouse_agnostic_spark.streaming.stateful import conversation_ledger
     from etl_warehouse_agnostic_spark.streaming.windows import windowed_op_counts
 
-    return windowed_op_counts(_changes(spark, sf_dir), window_duration="1 hour")
+    chg = _changes(spark, sf_dir)
+    ts_t = chg.schema["ts"].dataType
+    win = windowed_op_counts(chg, window_duration="1 hour").select(
+        F.lit("window").alias("part"),
+        "window_start", "window_end", "op", "n", "max_lsn",
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("long").alias("events_seen"),
+        F.lit(None).cast("long").alias("live_turns"),
+    )
+
+    root = tempfile.mkdtemp(prefix="etlwa-ledger-")
+    try:
+        chg_dir = os.path.join(root, "chg")
+        out_dir = os.path.join(root, "out")
+        # several files → several micro-batches → ledger state genuinely
+        # crosses batches (every ledger metric is order-independent:
+        # counts and max() — no mtime stamping needed)
+        chg.select("conv_id", "turn_idx", "op", "lsn").repartition(4) \
+            .write.parquet(chg_dir)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(chg_dir).schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(chg_dir)
+        )
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            conversation_ledger(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.read.parquet(out_dir)
+        w = Window.partitionBy("conv_id").orderBy(
+            F.desc("events_seen"), F.desc("max_lsn")
+        )
+        led = (
+            emitted.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .select(
+                F.lit("ledger").alias("part"),
+                F.lit(None).cast(ts_t).alias("window_start"),
+                F.lit(None).cast(ts_t).alias("window_end"),
+                F.lit(None).cast("string").alias("op"),
+                F.lit(None).cast("long").alias("n"),
+                "max_lsn", "conv_id", "events_seen", "live_turns",
+            )
+        )
+        return win.unionByName(led).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_csv_roundtrip(spark, sf_dir):
@@ -1582,11 +1644,38 @@ ORACLES: dict[str, str] = {
                2 AS tags_count
         FROM orders
     """,
+    # 'window' section = tumbling-window census; 'ledger' section = the
+    # stateful ledger's per-conversation truth (events seen, LIVE turns
+    # under LWW, high-water lsn) re-derived in SQL.
     "windowed_op_counts": f"""
-        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        WITH chg AS ({CHG_SQL}),
+        lww AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                     ORDER BY lsn DESC) AS rn
+            FROM chg) WHERE rn = 1)
+        SELECT 'window' AS part,
+               time_bucket(INTERVAL '1 hour', ts) AS window_start,
                time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
-               op, count(*) AS n, max(lsn) AS max_lsn
-        FROM ({CHG_SQL}) GROUP BY 1, 2, 3
+               op, count(*) AS n, max(lsn) AS max_lsn,
+               CAST(NULL AS VARCHAR) AS conv_id,
+               CAST(NULL AS BIGINT) AS events_seen,
+               CAST(NULL AS BIGINT) AS live_turns
+        FROM chg GROUP BY 1, 2, 3, 4
+        UNION ALL
+        SELECT 'ledger' AS part,
+               CAST(NULL AS TIMESTAMP) AS window_start,
+               CAST(NULL AS TIMESTAMP) AS window_end,
+               CAST(NULL AS VARCHAR) AS op,
+               CAST(NULL AS BIGINT) AS n,
+               s.hi AS max_lsn,
+               s.conv_id,
+               s.n_events AS events_seen,
+               CAST(coalesce(l.n_live, 0) AS BIGINT) AS live_turns
+        FROM (SELECT conv_id, count(*) AS n_events, max(lsn) AS hi
+              FROM chg GROUP BY conv_id) s
+        LEFT JOIN (SELECT conv_id, count(*) AS n_live FROM lww
+                   WHERE op <> 'D' GROUP BY conv_id) l USING (conv_id)
     """,
     "csv_roundtrip": """
         SELECT event_id, event_type, user_id FROM events WHERE event_id <= 3000

@@ -28,7 +28,7 @@ SF = "/root/testdata/sf0.001"
 SKIP = {
     "cdc_engine_e2e", "warehouse_parity", "multi_source_converge",
     "time_partition_scan", "full_refresh", "csv_roundtrip",
-    "pipeline_health", "silver_incremental",
+    "pipeline_health", "silver_incremental", "windowed_op_counts",
 }
 
 # Queries whose FINAL result is a global ≤3-row (or top-k) aggregate —
