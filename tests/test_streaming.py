@@ -357,3 +357,29 @@ def test_continuous_trigger_warehouse_kill_restart(spark, tmpdir_path, stream_di
         for r in duck.read().select("conv_id", "turn_idx", "text").collect()
     )
     assert got == sorted(tuple(r) for r in oracle(stream_dir))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SOAK"),
+    reason="soak is opt-in (SPARK_GRAFT_SOAK=1); BENCH/ carries the 10-min artifact",
+)
+def test_continuous_soak_two_minutes(spark, tmpdir_path):
+    """Marker-gated soak (r4 verdict #7): live feeder + continuous
+    trigger + concurrent pipeline_health sampling for 2 minutes; the
+    epoch chain must stay contiguous and gap-free and the final state
+    must equal batch LWW over everything fed. Drain-aware (no fixed
+    wall-clock deadline on the apply side)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from soak_continuous import run_soak
+
+    out = run_soak(
+        spark, tmpdir_path, minutes=2.0, events_per_file=5_000,
+        feed_interval=4.0, sample_every=20.0,
+    )
+    assert out["epoch_chain_contiguous"]
+    assert out["lsn_ranges_gap_free"]
+    assert out["final_state_matches_batch_lww"]
+    assert out["health_all_counts_consistent"]
+    assert out["epochs"] >= 5
