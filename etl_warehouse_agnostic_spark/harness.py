@@ -1055,23 +1055,28 @@ _SILVER_EPOCH_SIZE = 2000
 
 
 def q_silver_incremental(spark, sf_dir):
-    """Incremental silver-layer materialization — the dbt-per-cycle
-    analog (client_notes_raw.sql:55-60 incremental predicate, run per
-    cycle by repsly_dag.py:643-1040): the engine tail loop maintains a
-    curated table from each epoch's staged delta via
-    ``SilverModel.apply_epoch`` (transform the net upserts, propagate
-    deletes by key, epoch-idempotent MERGE), across ≥3 epochs plus a
-    replay that must be a version-stable no-op. The model is the full
-    25-transform chain with the REAL per-cycle ``_ingest_epoch`` stamp.
-    The oracle recomputes the entire model from scratch in SQL
-    (deriving each winner's cycle from its lsn slice), so the driver
-    hash proves incremental maintenance == full rebuild."""
+    """Incremental curated-layer materialization, BOTH model kinds in
+    one tagged row — the dbt-per-cycle analog (client_notes_raw.sql:
+    55-60 incremental predicate, run per cycle by repsly_dag.py:
+    643-1040): the engine tail loop maintains
+    - 'silver' rows: ``SilverModel`` — the full 25-transform chain
+      applied to each epoch's staged delta (deletes propagated by key,
+      epoch-idempotent MERGE, REAL per-cycle ``_ingest_epoch`` stamp);
+    - 'gold' rows: ``AggregateModel`` — a per-conversation rollup
+      maintained by affected-group recompute with bucket-pruned bronze
+      reads (the incremental-aggregate shape running aggregates cannot
+      express once deletes exist);
+    across ≥3 epochs plus a replay that must be a version-stable no-op
+    on both tables. The oracle recomputes BOTH models from scratch in
+    SQL (deriving each silver winner's cycle from its lsn slice), so
+    the driver hash proves incremental maintenance == full rebuild for
+    the row-wise AND the aggregate case."""
     from pyspark.sql import types as T
 
     from etl_warehouse_agnostic_spark.engine import CdcEngine
     from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
     from etl_warehouse_agnostic_spark.lake.table import LakeTable
-    from etl_warehouse_agnostic_spark.silver import SilverModel
+    from etl_warehouse_agnostic_spark.silver import AggregateModel, SilverModel
     from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
 
     chg = _changes(spark, sf_dir).localCheckpoint()
@@ -1088,12 +1093,20 @@ def q_silver_incremental(spark, sf_dir):
     def transform(upserts, epoch):
         return _silver_chain(upserts, F.lit(epoch))
 
+    def rollup(rows):
+        return rows.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max("turn_idx").alias("last_turn"),
+            F.sum(F.length("text")).alias("text_chars"),
+        )
+
     # silver schema = the transform's output shape (derived, not typed twice)
     staged_shape = T.StructType(
         list(bronze_schema.fields)
         + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
     )
     silver_schema = transform(spark.createDataFrame([], staged_shape), 0).schema
+    gold_schema = rollup(spark.createDataFrame([], bronze_schema)).schema
 
     root = tempfile.mkdtemp(prefix="etlwa-silver-")
     try:
@@ -1103,17 +1116,42 @@ def q_silver_incremental(spark, sf_dir):
         silver = LakeTable.create(
             spark, os.path.join(root, "silver"), silver_schema, KEYS, num_buckets=8
         )
-        model = SilverModel(silver, transform, name="turns_silver")
+        gold = LakeTable.create(
+            spark, os.path.join(root, "gold"), gold_schema, ["conv_id"], num_buckets=8
+        )
+        models = [
+            SilverModel(silver, transform, name="turns_silver"),
+            AggregateModel(gold, bronze, ["conv_id"], rollup, name="conv_rollup"),
+        ]
         ck = ManifestStore(os.path.join(root, "ck"))
-        eng = CdcEngine(spark, bronze, ck, num_salts=8, silver_models=[model])
+        eng = CdcEngine(spark, bronze, ck, num_salts=8, silver_models=models)
         src = ChangeStreamSource(spark, df=chg)
         results = eng.run(src, epoch_size=_SILVER_EPOCH_SIZE)
         assert len(results) >= 3, "need ≥3 epochs of genuine incremental maintenance"
-        assert silver.committed_epochs() == bronze.committed_epochs()
-        v = silver.latest_version()
+        assert silver.committed_epochs() == gold.committed_epochs() == bronze.committed_epochs()
+        vs, vg = silver.latest_version(), gold.latest_version()
         assert eng.run(src, epoch_size=_SILVER_EPOCH_SIZE) == []  # replay no-op
-        assert silver.latest_version() == v
-        return silver.read().localCheckpoint()
+        assert (silver.latest_version(), gold.latest_version()) == (vs, vg)
+
+        gold_nulls = [
+            F.lit(None).cast("long").alias("n_turns"),
+            F.lit(None).cast("int").alias("last_turn"),
+            F.lit(None).cast("long").alias("text_chars"),
+        ]
+        s = silver.read().select(F.lit("silver").alias("part"), "*", *gold_nulls)
+        g = gold.read().select(
+            F.lit("gold").alias("part"),
+            "conv_id",
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in silver_schema.fields
+                if f.name != "conv_id"
+            ],
+            F.col("n_turns").cast("long"),
+            F.col("last_turn").cast("int"),
+            F.col("text_chars").cast("long"),
+        )
+        return s.unionByName(g).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1830,7 +1868,7 @@ ORACLES: dict[str, str] = {
     "silver_incremental": f"""
         WITH cur AS (SELECT * FROM ({LWW_SQL}) WHERE op <> 'D'),
         en AS (SELECT *, json_extract_string(text, '$.k') AS k_val FROM cur)
-        SELECT conv_id, turn_idx,
+        SELECT 'silver' AS part, conv_id, turn_idx,
                trim(role) AS role_trim,
                upper(role) AS role_u,
                lower(role) AS role_l,
@@ -1863,8 +1901,30 @@ ORACLES: dict[str, str] = {
                greatest(turn_idx, 1) AS turn_floor,
                'events' AS _source_system,
                'transcripts_changes' AS _endpoint,
-               CAST(floor((lsn - 1) / 2000) AS INT) + 1 AS _ingest_epoch
+               CAST(floor((lsn - 1) / 2000) AS INT) + 1 AS _ingest_epoch,
+               CAST(NULL AS BIGINT) AS n_turns,
+               CAST(NULL AS INT) AS last_turn,
+               CAST(NULL AS BIGINT) AS text_chars
         FROM en
+        UNION ALL
+        -- gold section: the per-conversation rollup recomputed from
+        -- scratch over the final LWW state (the AggregateModel's
+        -- affected-group recompute must converge to exactly this)
+        SELECT 'gold' AS part, conv_id,
+               NULL AS turn_idx, NULL AS role_trim, NULL AS role_u,
+               NULL AS role_l, NULL AS k_clean, NULL AS role_or_unknown,
+               NULL AS phase, NULL AS has_ick, NULL AS has_view,
+               NULL AS has_nine, NULL AS k_dec, NULL AS ts_be,
+               NULL AS ts_ms, NULL AS conv_prefix, NULL AS conv_num,
+               NULL AS conv_digits, NULL AS turn_key, NULL AS text_len,
+               NULL AS yyyymm, NULL AS y, NULL AS q, NULL AS even_flag,
+               NULL AS role_nz, NULL AS record_hash, NULL AS lsn_k,
+               NULL AS turn_floor, NULL AS _source_system,
+               NULL AS _endpoint, NULL AS _ingest_epoch,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(max(turn_idx) AS INT) AS last_turn,
+               CAST(sum(length(text)) AS BIGINT) AS text_chars
+        FROM cur GROUP BY conv_id
     """,
     "time_partition_scan": f"""
         SELECT CAST(ts AS DATE) AS day, op, count(*) AS n, max(lsn) AS max_lsn

@@ -175,6 +175,19 @@ _EPOCHS_DDL = (
 
 
 
+def _sweep_stale_spill(spill_dir: str) -> None:
+    """Reclaim spill subdirs left by a crashed process (merge/overwrite
+    exports are removed in-line on the happy path; a hard kill strands
+    them). Safe at open: the backend contract is single-process
+    ownership, so nothing can be reading an old export when a fresh
+    backend is created over the file."""
+    if not os.path.isdir(spill_dir):
+        return
+    for d in os.listdir(spill_dir):
+        if d.split("-", 1)[0] in ("up", "dk", "full", "read"):
+            shutil.rmtree(os.path.join(spill_dir, d), ignore_errors=True)
+
+
 def _duck_files_literal(files: list[str]) -> str:
     """SQL list literal for read_parquet (CREATE VIEW cannot be a
     prepared statement); paths are repo-generated but quoted anyway."""
@@ -225,6 +238,7 @@ class DuckBackend:
         b._spark = spark
         b._schema = schema
         b._keys = list(key_cols)
+        _sweep_stale_spill(b.spill_dir)
         cols = ", ".join(
             f'"{f.name}" {_SPARK_TO_DUCK[f.dataType.simpleString()]}' for f in schema.fields
         )
@@ -526,6 +540,7 @@ class SqliteBackend:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         b = cls(path, **kw)
         b._spark = spark
+        _sweep_stale_spill(b.spill_dir)
         # Orphan staging tables (crash between executor load and swap)
         # are garbage by construction — the epoch ledger row is only
         # written inside the swap transaction — so reclaim them here.

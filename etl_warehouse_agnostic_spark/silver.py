@@ -37,6 +37,89 @@ from etl_warehouse_agnostic_spark.lake.table import LakeTable, MergeResult
 from etl_warehouse_agnostic_spark.operators.dedup import split_ops
 
 
+class AggregateModel:
+    """Incrementally-maintained AGGREGATE table — the gold layer
+    (dbt's incremental-aggregate / rollup shape, the per-cycle analog
+    of the reference's curated aggregation models).
+
+    ``aggregate(rows) -> DataFrame`` maps bronze-shaped rows to ONE row
+    per ``group_cols`` value. Maintenance strategy is AFFECTED-GROUP
+    RECOMPUTE: once updates/deletes exist, a delete cannot be folded
+    associatively out of a running aggregate, so per cycle the groups
+    touched by the epoch's staged delta are recomputed from the bronze
+    table's post-epoch state and MERGEd into the gold table; groups
+    whose last bronze row disappeared are deleted.
+
+    Scale (100 TB): when the leading group column IS bronze's bucket
+    key (the common rollup, e.g. per-conversation), the recompute reads
+    ONLY the staged delta's buckets via snapshot-metadata pruning —
+    cost O(affected buckets), independent of bronze size — then
+    semi-joins down to the touched groups. Any other grouping falls
+    back to a bronze scan + semi-join (still one shuffle-free filter
+    before the aggregation's own exchange).
+
+    Exactly-once and crash recovery ride the same contract as
+    :class:`SilverModel`: the MERGE carries the bronze epoch id, and a
+    crash between bronze finalize and gold apply replays from the
+    retained staging delta via ``CdcEngine.recover()``.
+    """
+
+    def __init__(
+        self,
+        table: LakeTable,
+        bronze: LakeTable,
+        group_cols: list[str],
+        aggregate: Callable[[DataFrame], DataFrame],
+        name: str = "gold",
+    ):
+        if list(table.key_cols) != list(group_cols):
+            raise ValueError(
+                f"gold table keys {table.key_cols} must equal group_cols {group_cols}"
+            )
+        self.table = table
+        self.bronze = bronze
+        self.group_cols = list(group_cols)
+        self.aggregate = aggregate
+        self.name = name
+
+    def epoch_committed(self, epoch: int) -> bool:
+        return self.table.epoch_committed(epoch)
+
+    def _affected_buckets(self, staged: DataFrame) -> list[int] | None:
+        """Bucket-pruned recompute is valid iff grouping leads with the
+        bronze bucket key (a group then lives entirely inside one
+        bucket). Returns None when pruning does not apply. ≤ num_buckets
+        rows collected — same census the engine itself does."""
+        if self.group_cols[0] != self.bronze.key_cols[0]:
+            return None
+        from pyspark.sql import functions as F
+
+        from etl_warehouse_agnostic_spark.functions.scalars import bucket_of
+
+        b = (
+            F.col("_bucket")
+            if "_bucket" in staged.columns
+            else bucket_of(self.bronze.key_cols[0], self.bronze.num_buckets)
+        )
+        return sorted(r[0] for r in staged.select(b.alias("_b")).distinct().collect())
+
+    def apply_epoch(self, staged: DataFrame, epoch: int) -> MergeResult:
+        if self.table.epoch_committed(epoch):
+            return MergeResult(0, epoch, 0, 0, 0, skipped=True)
+        touched = staged.select(*self.group_cols).dropDuplicates(self.group_cols)
+        buckets = self._affected_buckets(staged)
+        cur = self.bronze.read(buckets=buckets) if buckets is not None else self.bronze.read()
+        cur = cur.join(touched, self.group_cols, "left_semi")
+        out = self.aggregate(cur)
+        missing = [k for k in self.group_cols if k not in out.columns]
+        if missing:
+            raise ValueError(
+                f"gold model {self.name!r}: aggregate dropped group column(s) {missing}"
+            )
+        gone = touched.join(out.select(*self.group_cols), self.group_cols, "left_anti")
+        return self.table.merge(out, delete_keys=gone, epoch_id=epoch)
+
+
 class SilverModel:
     """One incrementally-maintained curated table.
 

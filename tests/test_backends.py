@@ -533,3 +533,21 @@ def test_sqlite_parallel_engine_tail_loop_and_overwrite(spark, tmpdir_path):
     par2.overwrite(ups, epoch_id=1)
     assert _final_state(par2.read()) == want
     assert par2.overwrite(ups, epoch_id=1).skipped
+
+
+def test_stale_spill_dirs_reclaimed_on_open(spark, tmpdir_path):
+    """A hard kill mid-merge strands the exported delta under
+    spill_dir; reopening the warehouse must reclaim it (single-process
+    ownership contract)."""
+    schema = TRANSCRIPTS_SCHEMA_V1
+    for wtype in ("duckdb", "sqlite"):
+        path = os.path.join(tmpdir_path, f"w-{wtype}.db")
+        wh = make_warehouse(spark, {"type": wtype, "path": path}, schema, KEY_COLS)
+        stale = os.path.join(wh.spill_dir, "up-deadbeef")
+        os.makedirs(stale, exist_ok=True)
+        with open(os.path.join(stale, "part-0.parquet"), "w") as f:
+            f.write("x")
+        wh._con.close()
+        re = make_warehouse(spark, {"type": wtype, "path": path}, schema, KEY_COLS)
+        assert not os.path.isdir(stale), wtype
+        re._con.close()

@@ -130,3 +130,139 @@ def test_silver_crash_between_finalize_and_apply_recovers(spark, tmpdir_path):
     assert silver.committed_epochs() == bronze.committed_epochs() == [1, 2, 3, 4]
     assert _silver_rows(silver) == _expected(chg)
     assert not os.path.isdir(staging) or not os.listdir(staging)
+
+
+GOLD_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.LongType(), True),
+        T.StructField("last_turn", T.IntegerType(), True),
+        T.StructField("text_chars", T.LongType(), True),
+    ]
+)
+
+
+def _gold_agg(rows):
+    return rows.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("turn_idx").alias("last_turn"),
+        F.sum(F.length("text")).alias("text_chars"),
+    )
+
+
+def _gold_rows(gold):
+    return sorted(
+        (r.conv_id, r.n_turns, r.last_turn, r.text_chars)
+        for r in gold.read().collect()
+    )
+
+
+def test_gold_aggregate_incremental_equals_full_recompute(spark, tmpdir_path):
+    """AggregateModel: affected-group recompute per cycle must equal a
+    from-scratch aggregation of the final bronze state, across ≥3
+    epochs of inserts/updates/deletes."""
+    from etl_warehouse_agnostic_spark.silver import AggregateModel
+
+    chg = generate_changes(spark, 4000, n_convs=60, turns_per_conv=8, seed=24).localCheckpoint()
+    bronze = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "bronze"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=4
+    )
+    gold_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gold"), GOLD_SCHEMA, ["conv_id"], num_buckets=4
+    )
+    gold = AggregateModel(gold_t, bronze, ["conv_id"], _gold_agg, name="conv_rollup")
+    ck = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    eng = CdcEngine(spark, bronze, ck, num_salts=4, silver_models=[gold])
+    results = eng.run(ChangeStreamSource(spark, df=chg), epoch_size=EPOCH_SIZE)
+    assert len(results) == 4
+
+    want = sorted(
+        tuple(r) for r in _gold_agg(bronze.read()).collect()
+    )
+    assert _gold_rows(gold_t) == want and len(want) > 0
+    assert gold_t.committed_epochs() == bronze.committed_epochs()
+
+    # replay no-op
+    v = gold_t.latest_version()
+    assert eng.run(ChangeStreamSource(spark, df=chg), epoch_size=EPOCH_SIZE) == []
+    assert gold_t.latest_version() == v
+
+
+def test_gold_group_vanish_deletes_rollup_row(spark, tmpdir_path):
+    """A group whose last bronze row is deleted must DISAPPEAR from the
+    gold table (the left_anti 'gone' path) — the case running
+    aggregates cannot express and affected-group recompute exists for."""
+    from etl_warehouse_agnostic_spark.silver import AggregateModel
+
+    chg = spark.createDataFrame(
+        [
+            (1, "I", "A", 0, "user", "hello", None),
+            (2, "I", "A", 1, "assistant", "hey", None),
+            (3, "I", "B", 0, "user", "yo", None),
+            (4, "D", "A", 0, None, None, None),
+            (5, "D", "A", 1, None, None, None),
+            (6, "U", "B", 0, "user", "yo yo", None),
+        ],
+        "lsn long, op string, conv_id string, turn_idx int, "
+        "role string, text string, ts timestamp",
+    )
+    bronze = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "bronze"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=2
+    )
+    gold_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gold"), GOLD_SCHEMA, ["conv_id"], num_buckets=2
+    )
+    gold = AggregateModel(gold_t, bronze, ["conv_id"], _gold_agg)
+    eng = CdcEngine(
+        spark, bronze, ManifestStore(os.path.join(tmpdir_path, "ck")),
+        num_salts=2, silver_models=[gold],
+    )
+    eng.run(ChangeStreamSource(spark, df=chg), epoch_size=3)
+    assert _gold_rows(gold_t) == [("B", 1, 0, 5)]  # A fully deleted, B updated
+
+
+def test_silver_and_gold_together_with_gold_crash_recovery(spark, tmpdir_path):
+    """Both model kinds on one engine; an injected crash in the GOLD
+    apply of epoch 2 (after silver already applied it) must leave
+    staging retained and recover exactly-once for the gold model only."""
+    from etl_warehouse_agnostic_spark.silver import AggregateModel, SilverModel
+
+    chg = generate_changes(spark, 3000, n_convs=40, turns_per_conv=8, seed=25).localCheckpoint()
+    bronze = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "bronze"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=4
+    )
+    silver_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "silver"), SILVER_SCHEMA, KEY_COLS, num_buckets=4
+    )
+    gold_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gold"), GOLD_SCHEMA, ["conv_id"], num_buckets=4
+    )
+    boom = {"armed": True}
+
+    def flaky_agg(rows):
+        if boom["armed"]:
+            raise RuntimeError("injected gold crash")
+        return _gold_agg(rows)
+
+    silver = SilverModel(silver_t, _transform, name="turns_silver")
+    gold = AggregateModel(gold_t, bronze, ["conv_id"], flaky_agg)
+    eng = CdcEngine(
+        spark, bronze, ManifestStore(os.path.join(tmpdir_path, "ck")),
+        num_salts=4, silver_models=[silver, gold],
+    )
+    src = ChangeStreamSource(spark, df=chg)
+    try:
+        eng.run(src, epoch_size=EPOCH_SIZE)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    assert silver_t.committed_epochs() == [1]   # silver applied epoch 1
+    assert gold_t.committed_epochs() == []      # gold crashed on epoch 1
+
+    boom["armed"] = False
+    eng.run(src, epoch_size=EPOCH_SIZE)
+    assert silver_t.committed_epochs() == gold_t.committed_epochs() == bronze.committed_epochs()
+    assert _silver_rows(silver_t) == _expected(chg)
+    assert _gold_rows(gold_t) == sorted(tuple(r) for r in _gold_agg(bronze.read()).collect())
+    staging = os.path.join(bronze.path, "_staging")
+    assert not os.path.isdir(staging) or not os.listdir(staging)
