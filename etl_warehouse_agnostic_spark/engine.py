@@ -180,6 +180,7 @@ class CdcEngine:
                     self.checkpoints.finalize(epoch, manifest)
                     healed.append(epoch)
         self._recover_silver()
+        self._check_silver_current()
         self._sweep_staging()
         return healed
 
@@ -213,6 +214,38 @@ class CdcEngine:
     def _apply_silver(self, staged: DataFrame, epoch: int) -> None:
         for model in self.silver_models:
             model.apply_epoch(staged, epoch)
+
+    def _check_silver_current(self) -> None:
+        """Refuse to tail forward past a model that is behind with its
+        staged deltas GONE (e.g. attached to a bronze that was already
+        populated): maintaining it forward would permanently miss those
+        epochs' rows — a silent divergence. The fix is explicit:
+        ``model.bootstrap(...)`` (full refresh stamped with bronze's
+        last epoch), or rebuild the model's table."""
+        if not self.silver_models or self.table is None:
+            return
+        finalized = self.checkpoints.epochs()
+        if not finalized:
+            return
+        staging_root = os.path.join(self.table.path, "_staging")
+        staged: set[int] = set()
+        if os.path.isdir(staging_root):
+            for d in os.listdir(staging_root):
+                if d.startswith("e"):
+                    try:
+                        staged.add(int(d[1:]))
+                    except ValueError:
+                        pass
+        for m in self.silver_models:
+            last = m.last_epoch()
+            behind = [e for e in finalized if e > last and e not in staged]
+            if behind:
+                raise ValueError(
+                    f"silver model {m.name!r} is missing epoch(s) "
+                    f"{behind[:5]}{'...' if len(behind) > 5 else ''} whose staged "
+                    "deltas are gone — bootstrap it from bronze "
+                    "(model.bootstrap(...)) or rebuild its table before attaching"
+                )
 
     def _recover_silver(self) -> None:
         """Catch silver models up from retained staging dirs — the

@@ -85,6 +85,17 @@ class AggregateModel:
     def epoch_committed(self, epoch: int) -> bool:
         return self.table.epoch_committed(epoch)
 
+    def last_epoch(self) -> int:
+        es = self.table.committed_epochs()
+        return max(es) if es else 0
+
+    def bootstrap(self, epoch_id: int) -> MergeResult:
+        """Full-refresh bootstrap for attaching to an already-populated
+        bronze: aggregate the CURRENT bronze state (all groups) and
+        overwrite, stamped with bronze's last epoch so maintenance
+        resumes from the next cycle."""
+        return self.table.overwrite(self.aggregate(self.bronze.read()), epoch_id=epoch_id)
+
     def _affected_buckets(self, staged: DataFrame) -> list[int] | None:
         """Bucket-pruned recompute is valid iff grouping leads with the
         bronze bucket key (a group then lives entirely inside one
@@ -147,6 +158,27 @@ class SilverModel:
 
     def epoch_committed(self, epoch: int) -> bool:
         return self.table.epoch_committed(epoch)
+
+    def last_epoch(self) -> int:
+        es = self.table.committed_epochs()
+        return max(es) if es else 0
+
+    def bootstrap(self, bronze: LakeTable, epoch_id: int) -> MergeResult:
+        """Full-refresh bootstrap (dbt ``--full-refresh`` analog) for
+        attaching the model to an ALREADY-POPULATED bronze whose past
+        staged deltas are gone: transform the current bronze state and
+        overwrite, stamped with bronze's last epoch so incremental
+        maintenance resumes from the next cycle. Bronze rows carry a
+        synthetic envelope (op='I', lsn=NULL) — a transform that
+        derives columns from ``lsn`` must tolerate NULL there."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            bronze.read()
+            .withColumn("op", F.lit("I"))
+            .withColumn("lsn", F.lit(None).cast("long"))
+        )
+        return self.table.overwrite(self.transform(rows, epoch_id), epoch_id=epoch_id)
 
     def apply_epoch(self, staged: DataFrame, epoch: int) -> MergeResult:
         """Apply one bronze epoch's staged delta to the silver table —

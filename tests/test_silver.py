@@ -266,3 +266,36 @@ def test_silver_and_gold_together_with_gold_crash_recovery(spark, tmpdir_path):
     assert _gold_rows(gold_t) == sorted(tuple(r) for r in _gold_agg(bronze.read()).collect())
     staging = os.path.join(bronze.path, "_staging")
     assert not os.path.isdir(staging) or not os.listdir(staging)
+
+
+def test_late_attached_model_refuses_silent_divergence(spark, tmpdir_path):
+    """Attaching a model to a bronze that is ALREADY ahead (its staged
+    deltas gone) must fail loudly — maintaining it forward would
+    permanently miss those epochs — and the bootstrap path must make
+    it current and correct."""
+    import pytest
+
+    from etl_warehouse_agnostic_spark.silver import AggregateModel
+
+    chg = generate_changes(spark, 3000, n_convs=40, turns_per_conv=8, seed=26).localCheckpoint()
+    half = chg.where(F.col("lsn") <= 2000)
+    bronze = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "bronze"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=4
+    )
+    ck = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    # phase 1: bronze runs TWO epochs with no models attached
+    eng0 = CdcEngine(spark, bronze, ck, num_salts=4)
+    assert len(eng0.run(ChangeStreamSource(spark, df=half), epoch_size=EPOCH_SIZE)) == 2
+
+    gold_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gold"), GOLD_SCHEMA, ["conv_id"], num_buckets=4
+    )
+    gold = AggregateModel(gold_t, bronze, ["conv_id"], _gold_agg)
+    eng = CdcEngine(spark, bronze, ck, num_salts=4, silver_models=[gold])
+    with pytest.raises(ValueError, match="bootstrap"):
+        eng.run(ChangeStreamSource(spark, df=chg), epoch_size=EPOCH_SIZE)
+
+    # bootstrap stamped with bronze's last epoch → maintenance resumes
+    gold.bootstrap(epoch_id=ck.last_epoch())
+    eng.run(ChangeStreamSource(spark, df=chg), epoch_size=EPOCH_SIZE)
+    assert _gold_rows(gold_t) == sorted(tuple(r) for r in _gold_agg(bronze.read()).collect())
