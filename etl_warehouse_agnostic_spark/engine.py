@@ -446,7 +446,8 @@ class CdcEngine:
 
     def _maybe_maintain(self, epochs_done: int) -> None:
         """Compaction policy hook: fires every ``maintenance_every``
-        applied epochs; content-preserving (proven by test) and
+        APPLIED (non-skipped) epochs — replayed/skipped epochs do not
+        advance the cadence; content-preserving (proven by test) and
         epoch-ledger-preserving, so exactly-once is unaffected."""
         if not self.maintenance_every or self.table is None:
             return
@@ -481,7 +482,7 @@ class CdcEngine:
             results.append(self.apply_epoch(slice_df, epoch, lsn_range=(hi_water, hi)))
             hi_water = hi
             epoch += 1
-            self._maybe_maintain(len(results))
+            self._maybe_maintain(sum(1 for r in results if not r.skipped))
         return results
 
     def run_warehouse(
@@ -715,5 +716,5 @@ class CdcEngine:
             slice_df = source.read_slice(lo, hi, lookback=lookback)
             results.append(self.apply_epoch(slice_df, epoch, lsn_range=(lo, hi)))
             epoch += 1
-            self._maybe_maintain(len(results))
+            self._maybe_maintain(sum(1 for r in results if not r.skipped))
         return results

@@ -416,12 +416,15 @@ class DuckBackend:
         storage, or ``spark.read.jdbc`` with ``partitionColumn``). The
         driver never holds rows."""
         # The export must outlive this call (the returned DataFrame
-        # scans lazily), but not forever: each read() prunes the
-        # PREVIOUS read's export, so a long-lived process holds at most
-        # one export at a time. A DataFrame from an earlier read() is
-        # therefore invalidated by the next read(); close() removes the
-        # last one.
-        self._prune_read_dirs()
+        # scans lazily), but not forever: each read() prunes all but
+        # the most recent previous export, so a long-lived process
+        # holds at most TWO exports at a time. The two-deep window is
+        # deliberate — a caller holding the previous read() alongside
+        # this one (self-join, before/after diff) stays valid; any
+        # OLDER DataFrame is invalidated and will fail loudly at action
+        # time with missing input files. close() removes whatever is
+        # left.
+        self._prune_read_dirs(keep=1)
         out_dir = self._spill("read")
         os.makedirs(self.spill_dir, exist_ok=True)
         # PER_THREAD_OUTPUT: the warehouse writes one file per thread
@@ -434,14 +437,28 @@ class DuckBackend:
         self._read_dirs.append(out_dir)
         return self._spark.read.schema(self._schema).parquet(out_dir)
 
-    def _prune_read_dirs(self) -> None:
-        for d in self._read_dirs:
+    def _prune_read_dirs(self, keep: int = 0) -> None:
+        drop = self._read_dirs[: len(self._read_dirs) - keep] if keep else self._read_dirs
+        for d in drop:
             shutil.rmtree(d, ignore_errors=True)
-        self._read_dirs = []
+        self._read_dirs = self._read_dirs[len(self._read_dirs) - keep :] if keep else []
 
     def close(self) -> None:
         self._con.close()
         shutil.rmtree(self.spill_dir, ignore_errors=True)
+
+
+def _sqlite_rollback_quietly(cur) -> None:
+    """ROLLBACK if a transaction is active. BEGIN itself may have
+    failed (e.g. ``BEGIN IMMEDIATE`` busy beyond the timeout) — a bare
+    ROLLBACK then raises 'cannot rollback - no transaction is active'
+    and masks the original error, so swallow exactly that case."""
+    import sqlite3
+
+    try:
+        cur.execute("ROLLBACK")
+    except sqlite3.OperationalError:
+        pass
 
 
 def _pa_to_py(column, spark_type: T.DataType):
@@ -744,7 +761,7 @@ class SqliteBackend:
             cur.execute(f'DROP TABLE "{dk_st}"')
             cur.execute("COMMIT")
         except Exception:
-            cur.execute("ROLLBACK")
+            _sqlite_rollback_quietly(cur)
             raise
         return rows
 
@@ -797,7 +814,7 @@ class SqliteBackend:
                     )
                 cur.execute("COMMIT")
             except Exception:
-                cur.execute("ROLLBACK")
+                _sqlite_rollback_quietly(cur)
                 raise
             return MergeResult(0, epoch_id, rows, 0, 0)
         finally:
@@ -843,7 +860,7 @@ class SqliteBackend:
                     cur.execute(f'DROP TABLE "{st}"')
                     cur.execute("COMMIT")
                 except Exception:
-                    cur.execute("ROLLBACK")
+                    _sqlite_rollback_quietly(cur)
                     raise
                 return MergeResult(0, epoch_id, rows, 0, 0)
             cur = self._con.cursor()
@@ -865,7 +882,7 @@ class SqliteBackend:
                     )
                 cur.execute("COMMIT")
             except Exception:
-                cur.execute("ROLLBACK")
+                _sqlite_rollback_quietly(cur)
                 raise
             return MergeResult(0, epoch_id, rows, 0, 0)
         finally:
@@ -879,11 +896,14 @@ class SqliteBackend:
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        # Same export-lifetime rule as DuckBackend.read(): prune the
-        # previous read's export so disk use is bounded at one export.
-        for d in self._read_dirs:
+        # Same export-lifetime rule as DuckBackend.read(): keep the
+        # most recent previous export (so a caller holding two reads —
+        # self-join, before/after diff — stays valid), prune anything
+        # older, bounding disk at two exports.
+        drop = self._read_dirs[:-1]
+        for d in drop:
             shutil.rmtree(d, ignore_errors=True)
-        self._read_dirs = []
+        self._read_dirs = self._read_dirs[-1:]
         out_dir = self._spill("read")
         self._read_dirs.append(out_dir)
         os.makedirs(out_dir, exist_ok=True)
