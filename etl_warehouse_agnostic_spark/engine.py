@@ -131,12 +131,19 @@ class CdcEngine:
         # evolve to) the columns of the max writer schema it contains —
         # physical storage of the change log may hold the union schema.
         self.schema_registry = schema_registry
-        # Incremental silver models (silver.SilverModel) maintained by
-        # the lake tail loop: each bronze epoch's staged delta is
-        # transformed and merged into the model's own table under the
-        # same epoch id (the dbt-per-cycle analog). Lake path only —
-        # the models feed on the staged delta the lake loop writes.
-        self.silver_models = list(silver_models or [])
+        # Incremental silver models (silver.SilverModel /
+        # AggregateModel) maintained by the tail loop: each bronze
+        # epoch's staged delta is transformed and merged into the
+        # model's own table under the same epoch id (the dbt-per-cycle
+        # analog). Models may CHAIN (model.parent) — the dbt raw →
+        # staging → curated graph — and are stored here in topological
+        # order so a chained model always reads its parent's
+        # post-epoch state; a chained model's input is its parent's
+        # epoch_delta, recomputed lazily from the one bronze staged
+        # delta (no extra staged storage anywhere in the DAG).
+        from etl_warehouse_agnostic_spark.silver import model_dag_order
+
+        self.silver_models = model_dag_order(silver_models or [])
         # Auto-maintenance (VERDICT r4 #4 — the reference's ClickHouse
         # gets background merges for free; a copy-on-write table does
         # not): every K applied epochs the tail loop compacts the
@@ -212,8 +219,24 @@ class CdcEngine:
         return T.StructType(fields)
 
     def _apply_silver(self, staged: DataFrame, epoch: int) -> None:
+        """Walk the model DAG (already topo-ordered): root models feed
+        on the bronze staged delta; a chained model feeds on its
+        parent's ``epoch_delta`` — a pure function of the parent's own
+        input, so recovery replays the WHOLE chain from the one
+        retained bronze delta (already-committed ancestors just skip
+        their merge while their delta is still recomputable)."""
+        deltas: dict[int, DataFrame] = {}
+        needed = {
+            id(m.parent)
+            for m in self.silver_models
+            if getattr(m, "parent", None) is not None
+        }
         for model in self.silver_models:
-            model.apply_epoch(staged, epoch)
+            parent = getattr(model, "parent", None)
+            inp = staged if parent is None else deltas[id(parent)]
+            model.apply_epoch(inp, epoch)
+            if id(model) in needed:
+                deltas[id(model)] = model.epoch_delta(inp, epoch)
 
     def _check_silver_current(self) -> None:
         """Refuse to tail forward past a model that is behind with its

@@ -37,6 +37,43 @@ from etl_warehouse_agnostic_spark.lake.table import LakeTable, MergeResult
 from etl_warehouse_agnostic_spark.operators.dedup import split_ops
 
 
+def model_dag_order(models: list) -> list:
+    """Topological order of a model DAG (every parent before its
+    children) — the engine applies models in this order so a chained
+    model always reads its parent's POST-epoch table state.
+
+    A parent that is not itself attached raises: its table would never
+    be maintained, so the chain would silently aggregate stale data —
+    the same loud-failure policy as the late-attach guard."""
+    models = list(models)
+    ids = {id(m) for m in models}
+    for m in models:
+        p = getattr(m, "parent", None)
+        if p is not None and id(p) not in ids:
+            raise ValueError(
+                f"model {m.name!r} chains off {p.name!r}, which is not "
+                "attached to the engine — attach the parent too, ahead of "
+                "or alongside its children"
+            )
+    order: list = []
+    placed: set[int] = set()
+    pending = list(models)
+    while pending:
+        progressed = False
+        for m in list(pending):
+            p = getattr(m, "parent", None)
+            if p is None or id(p) in placed:
+                order.append(m)
+                placed.add(id(m))
+                pending.remove(m)
+                progressed = True
+        if not progressed:
+            raise ValueError(
+                f"model DAG cycle among {[m.name for m in pending]!r}"
+            )
+    return order
+
+
 class AggregateModel:
     """Incrementally-maintained AGGREGATE table — the gold layer
     (dbt's incremental-aggregate / rollup shape, the per-cycle analog
@@ -67,11 +104,28 @@ class AggregateModel:
     def __init__(
         self,
         table: LakeTable,
-        bronze: LakeTable,
+        bronze: LakeTable | None,
         group_cols: list[str],
         aggregate: Callable[[DataFrame], DataFrame],
         name: str = "gold",
+        parent: "SilverModel | None" = None,
     ):
+        if parent is not None:
+            if not isinstance(parent, SilverModel):
+                raise ValueError(
+                    f"gold model {name!r}: parent must be a SilverModel; "
+                    f"got {type(parent).__name__}"
+                )
+            if bronze is None:
+                bronze = parent.table
+            elif bronze is not parent.table:
+                raise ValueError(
+                    f"gold model {name!r}: chained aggregate must read its "
+                    f"parent's table (bronze is {bronze.path!r}, parent table "
+                    f"is {parent.table.path!r})"
+                )
+        if bronze is None:
+            raise ValueError(f"gold model {name!r}: needs a source table or a parent")
         if list(table.key_cols) != list(group_cols):
             raise ValueError(
                 f"gold table keys {table.key_cols} must equal group_cols {group_cols}"
@@ -81,6 +135,7 @@ class AggregateModel:
         self.group_cols = list(group_cols)
         self.aggregate = aggregate
         self.name = name
+        self.parent = parent
 
     def epoch_committed(self, epoch: int) -> bool:
         return self.table.epoch_committed(epoch)
@@ -144,6 +199,19 @@ class SilverModel:
     function of its input row alone) — that is what makes incremental
     maintenance equal a full rebuild, and what the driver oracle row
     (``silver_incremental``) verifies end-to-end.
+
+    **Chaining (the model DAG).** ``parent`` hangs this model off
+    another :class:`SilverModel` instead of bronze — the reference's
+    raw → staging → curated dbt graph, where a staging model is itself
+    the input of the curated one (dbt/models/staging/repsly/
+    forms_items.sql:34, ``ref('forms_staging')``). The engine feeds a
+    chained model its parent's :meth:`epoch_delta` — the parent's own
+    per-epoch output delta, recomputed lazily from the bronze staged
+    delta through the (deterministic) transform chain, so a chain
+    needs NO extra staged storage and crash recovery replays the whole
+    DAG from the one retained bronze delta. A chained model's keys
+    must be a subset of its parent's keys (deletes propagate by key
+    down the chain).
     """
 
     def __init__(
@@ -151,10 +219,26 @@ class SilverModel:
         table: LakeTable,
         transform: Callable[[DataFrame, int], DataFrame],
         name: str = "silver",
+        parent: "SilverModel | None" = None,
     ):
+        if parent is not None:
+            if not isinstance(parent, SilverModel):
+                raise ValueError(
+                    f"model {name!r}: parent must be a SilverModel (a row-wise "
+                    "model whose per-epoch output delta is recomputable); "
+                    f"got {type(parent).__name__}"
+                )
+            missing = [k for k in table.key_cols if k not in parent.table.key_cols]
+            if missing:
+                raise ValueError(
+                    f"chained model {name!r}: key column(s) {missing} are not "
+                    f"keys of parent {parent.name!r} ({parent.table.key_cols}) — "
+                    "deletes could not propagate down the chain"
+                )
         self.table = table
         self.transform = transform
         self.name = name
+        self.parent = parent
 
     def epoch_committed(self, epoch: int) -> bool:
         return self.table.epoch_committed(epoch)
@@ -180,12 +264,16 @@ class SilverModel:
         )
         return self.table.overwrite(self.transform(rows, epoch_id), epoch_id=epoch_id)
 
-    def apply_epoch(self, staged: DataFrame, epoch: int) -> MergeResult:
-        """Apply one bronze epoch's staged delta to the silver table —
-        epoch-idempotent (a replayed epoch id is a skipped no-op before
-        any mutation, same contract as every other sink)."""
-        if self.table.epoch_committed(epoch):
-            return MergeResult(0, epoch, 0, 0, 0, skipped=True)
+    def epoch_delta(self, staged: DataFrame, epoch: int) -> DataFrame:
+        """This model's OWN output delta for one epoch, in the same
+        staged-delta shape its input arrived in (payload + ``op``):
+        transformed upserts tagged 'U', propagated deletes tagged 'D'
+        (key columns only, payload NULL). This is what a downstream
+        (chained) model consumes — a pure, lazily-recomputable function
+        of the input delta, so chains add no staged storage and replay
+        from the bronze delta alone."""
+        from pyspark.sql import functions as F
+
         upserts, deletes = split_ops(staged)
         out = self.transform(upserts, epoch)
         missing = [k for k in self.table.key_cols if k not in out.columns]
@@ -193,8 +281,21 @@ class SilverModel:
             raise ValueError(
                 f"silver model {self.name!r}: transform dropped key column(s) {missing}"
             )
+        dels = deletes.select(*self.table.key_cols).withColumn("op", F.lit("D"))
+        return out.withColumn("op", F.lit("U")).unionByName(
+            dels, allowMissingColumns=True
+        )
+
+    def apply_epoch(self, staged: DataFrame, epoch: int) -> MergeResult:
+        """Apply one bronze epoch's staged delta to the silver table —
+        epoch-idempotent (a replayed epoch id is a skipped no-op before
+        any mutation, same contract as every other sink)."""
+        if self.table.epoch_committed(epoch):
+            return MergeResult(0, epoch, 0, 0, 0, skipped=True)
+        delta = self.epoch_delta(staged, epoch)
+        upserts, deletes = split_ops(delta)
         return self.table.merge(
-            out,
+            upserts,
             delete_keys=deletes.select(*self.table.key_cols),
             epoch_id=epoch,
         )

@@ -299,3 +299,181 @@ def test_late_attached_model_refuses_silent_divergence(spark, tmpdir_path):
     gold.bootstrap(epoch_id=ck.last_epoch())
     eng.run(ChangeStreamSource(spark, df=chg), epoch_size=EPOCH_SIZE)
     assert _gold_rows(gold_t) == sorted(tuple(r) for r in _gold_agg(bronze.read()).collect())
+
+
+# ---------------- model DAG chaining (raw → staging → curated) ----------------
+
+
+GOLD2_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.LongType(), True),
+        T.StructField("sum_text_len", T.LongType(), True),
+    ]
+)
+
+
+def _gold_from_silver_agg(rows):
+    return rows.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("text_len").alias("sum_text_len"),
+    )
+
+
+def test_chained_gold_from_silver_equals_full_rebuild(spark, tmpdir_path):
+    """The dbt raw → staging → curated shape: an AggregateModel chained
+    on a SilverModel (parent=) must converge to a from-scratch
+    aggregation of the silver table's FINAL state, across ≥3 epochs of
+    inserts/updates/deletes, and replay as a version-stable no-op on
+    every level."""
+    from etl_warehouse_agnostic_spark.silver import AggregateModel
+
+    chg = generate_changes(spark, 4000, n_convs=60, turns_per_conv=8, seed=31).localCheckpoint()
+    bronze, silver_t, silver, eng0 = _setup(spark, tmpdir_path)
+    gold_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gold2"), GOLD2_SCHEMA, ["conv_id"], num_buckets=4
+    )
+    gold = AggregateModel(
+        gold_t, None, ["conv_id"], _gold_from_silver_agg, name="gold_from_silver",
+        parent=silver,
+    )
+    eng = CdcEngine(
+        spark, bronze, eng0.checkpoints, num_salts=4, silver_models=[gold, silver],
+    )
+    # topo order puts the parent first even when passed after the child
+    assert [m.name for m in eng.silver_models] == ["turns_silver", "gold_from_silver"]
+    src = ChangeStreamSource(spark, df=chg)
+    results = eng.run(src, epoch_size=EPOCH_SIZE)
+    assert len(results) == 4
+
+    assert _silver_rows(silver_t) == _expected(chg)
+    want = sorted(tuple(r) for r in _gold_from_silver_agg(silver_t.read()).collect())
+    got = sorted(
+        (r.conv_id, r.n_turns, r.sum_text_len) for r in gold_t.read().collect()
+    )
+    assert got == want and len(want) > 0
+    assert gold_t.committed_epochs() == silver_t.committed_epochs() == bronze.committed_epochs()
+
+    vs, vg = silver_t.latest_version(), gold_t.latest_version()
+    assert eng.run(src, epoch_size=EPOCH_SIZE) == []
+    assert (silver_t.latest_version(), gold_t.latest_version()) == (vs, vg)
+
+
+def test_chained_silver_of_silver_row_wise(spark, tmpdir_path):
+    """A row-wise SilverModel chained on another SilverModel: the
+    level-2 state must equal the composed transform applied to the
+    level-1 final state (deletes propagated down both levels)."""
+    chg = generate_changes(spark, 3000, n_convs=40, turns_per_conv=8, seed=32).localCheckpoint()
+    bronze, silver_t, silver, eng0 = _setup(spark, tmpdir_path)
+
+    l2_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role_tag", T.StringType(), True),
+            T.StructField("len2", T.IntegerType(), True),
+        ]
+    )
+    l2_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "l2"), l2_schema, KEY_COLS, num_buckets=4
+    )
+
+    def l2_transform(upserts, epoch):
+        return upserts.select(
+            "conv_id", "turn_idx",
+            F.concat(F.lit("r:"), F.lower("role_u")).alias("role_tag"),
+            (F.col("text_len") * 2).cast("int").alias("len2"),
+        )
+
+    l2 = SilverModel(l2_t, l2_transform, name="curated_l2", parent=silver)
+    eng = CdcEngine(
+        spark, bronze, eng0.checkpoints, num_salts=4, silver_models=[silver, l2],
+    )
+    eng.run(ChangeStreamSource(spark, df=chg), epoch_size=EPOCH_SIZE)
+
+    want = sorted(
+        tuple(r) for r in l2_transform(silver_t.read(), 0).collect()
+    )
+    got = sorted(tuple(r) for r in l2_t.read().collect())
+    assert got == want and len(want) > 0
+    assert l2_t.committed_epochs() == silver_t.committed_epochs() == bronze.committed_epochs()
+
+
+def test_chained_crash_level1_committed_level2_not(spark, tmpdir_path):
+    """Crash window NEW to chains: level-1 (silver) committed the
+    epoch, level-2 (chained gold) did not. The bronze staged delta must
+    be retained, and recovery must recompute level-1's delta through
+    the chain (its merge skips) and catch level-2 up exactly-once."""
+    from etl_warehouse_agnostic_spark.silver import AggregateModel
+
+    chg = generate_changes(spark, 3000, n_convs=40, turns_per_conv=8, seed=33).localCheckpoint()
+    bronze, silver_t, silver, eng0 = _setup(spark, tmpdir_path)
+    gold_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gold2"), GOLD2_SCHEMA, ["conv_id"], num_buckets=4
+    )
+    boom = {"armed": True}
+
+    def flaky_agg(rows):
+        if boom["armed"]:
+            raise RuntimeError("injected level-2 crash")
+        return _gold_from_silver_agg(rows)
+
+    gold = AggregateModel(
+        gold_t, None, ["conv_id"], flaky_agg, name="gold_from_silver", parent=silver
+    )
+    eng = CdcEngine(
+        spark, bronze, eng0.checkpoints, num_salts=4, silver_models=[silver, gold],
+    )
+    src = ChangeStreamSource(spark, df=chg)
+    try:
+        eng.run(src, epoch_size=EPOCH_SIZE)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    assert silver_t.committed_epochs() == [1]  # level-1 applied epoch 1
+    assert gold_t.committed_epochs() == []     # level-2 crashed
+    staging = os.path.join(bronze.path, "_staging")
+    assert os.path.isdir(staging) and os.listdir(staging)  # delta retained
+
+    boom["armed"] = False
+    eng.run(src, epoch_size=EPOCH_SIZE)
+    assert gold_t.committed_epochs() == silver_t.committed_epochs() == bronze.committed_epochs()
+    assert _silver_rows(silver_t) == _expected(chg)
+    want = sorted(tuple(r) for r in _gold_from_silver_agg(silver_t.read()).collect())
+    got = sorted(
+        (r.conv_id, r.n_turns, r.sum_text_len) for r in gold_t.read().collect()
+    )
+    assert got == want
+    assert not os.path.isdir(staging) or not os.listdir(staging)
+
+
+def test_model_dag_validation(spark, tmpdir_path):
+    """Loud failures: a parent not attached to the engine; a chained
+    model whose keys are not a subset of its parent's; an aggregate as
+    a parent."""
+    import pytest
+
+    from etl_warehouse_agnostic_spark.silver import AggregateModel, model_dag_order
+
+    bronze, silver_t, silver, _ = _setup(spark, tmpdir_path)
+    gold_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gold2"), GOLD2_SCHEMA, ["conv_id"], num_buckets=4
+    )
+    gold = AggregateModel(
+        gold_t, None, ["conv_id"], _gold_from_silver_agg, parent=silver
+    )
+    with pytest.raises(ValueError, match="not\\s+attached"):
+        model_dag_order([gold])  # parent silver missing
+
+    # chained model keys must be a subset of the parent's keys
+    bad_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "bad"),
+        T.StructType([T.StructField("role_u", T.StringType(), False)]),
+        ["role_u"], num_buckets=2,
+    )
+    with pytest.raises(ValueError, match="key column"):
+        SilverModel(bad_t, lambda df, e: df, name="bad", parent=silver)
+
+    # an AggregateModel cannot be a parent (no recomputable row delta)
+    with pytest.raises(ValueError, match="SilverModel"):
+        SilverModel(bad_t, lambda df, e: df, name="bad2", parent=gold)
