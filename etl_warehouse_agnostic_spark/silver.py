@@ -87,13 +87,29 @@ class AggregateModel:
     table's post-epoch state and MERGEd into the gold table; groups
     whose last bronze row disappeared are deleted.
 
-    Scale (100 TB): when the leading group column IS bronze's bucket
-    key (the common rollup, e.g. per-conversation), the recompute reads
-    ONLY the staged delta's buckets via snapshot-metadata pruning —
-    cost O(affected buckets), independent of bronze size — then
-    semi-joins down to the touched groups. Any other grouping falls
-    back to a bronze scan + semi-join (still one shuffle-free filter
-    before the aggregation's own exchange).
+    **Which groups does an epoch touch?** When ``group_cols`` are all
+    bronze KEY columns (keys are immutable and present on delete rows),
+    the staged delta itself names every touched group. Any other
+    grouping (e.g. a day rollup over a mutable ``ts``) is only correct
+    with OLD-GROUP TRACKING: an update that moves a row between groups
+    must recompute the row's former group too, and a delete row carries
+    NULL payload so its group is unknowable from the delta — both old
+    groups come from the PRE-epoch bronze snapshot (time-travel read of
+    the delta's keys, bucket-pruned to the delta's buckets). A non-key
+    grouping therefore requires a versioned (lake) bronze and
+    ``row_groups`` when the group value is derived (e.g. day-of-ts).
+
+    Scale (100 TB), recompute scan per cycle, in preference order:
+    - bucket-pruned — leading group column IS bronze's bucket key: read
+      only the staged delta's buckets (snapshot-metadata pruning),
+      O(affected buckets), independent of bronze size;
+    - day-pruned — ``day_of`` names a group column holding the bronze
+      time-partition granule (``days(ts)`` → 'yyyy-MM-dd'): read only
+      the touched groups' granule range via ``read(day_range=...)``,
+      O(touched days);
+    - full scan — neither applies: warns once per model (or raises
+      with ``require_pruned=True``); at a 100-TB bronze this rescans
+      the table every cycle and is almost certainly a mis-modeling.
 
     Exactly-once and crash recovery ride the same contract as
     :class:`SilverModel`: the MERGE carries the bronze epoch id, and a
@@ -109,6 +125,9 @@ class AggregateModel:
         aggregate: Callable[[DataFrame], DataFrame],
         name: str = "gold",
         parent: "SilverModel | None" = None,
+        row_groups: Callable[[DataFrame], DataFrame] | None = None,
+        day_of: str | None = None,
+        require_pruned: bool = False,
     ):
         if parent is not None:
             if not isinstance(parent, SilverModel):
@@ -130,12 +149,58 @@ class AggregateModel:
             raise ValueError(
                 f"gold table keys {table.key_cols} must equal group_cols {group_cols}"
             )
+        src_keys = list(getattr(bronze, "key_cols", None) or [])
+        key_grouped = bool(src_keys) and set(group_cols) <= set(src_keys)
+        if not key_grouped:
+            # ADVICE r5 (medium): without old-group tracking, an update
+            # that changes a payload grouping value (or any delete, its
+            # payload being NULL) would leave the row's OLD group stale
+            # — silent divergence. Old groups need the pre-epoch bronze
+            # snapshot, so a versioned (lake) source is mandatory here.
+            if not (hasattr(bronze, "epoch_snapshot") and hasattr(bronze, "read")):
+                raise ValueError(
+                    f"gold model {name!r}: group_cols {group_cols} are not all "
+                    f"key columns of the source ({src_keys}); correct "
+                    "maintenance then requires old-group tracking against the "
+                    "pre-epoch snapshot, which this source cannot provide — "
+                    "group by key columns or use a versioned lake table"
+                )
+        if day_of is not None:
+            if day_of not in group_cols:
+                raise ValueError(
+                    f"gold model {name!r}: day_of={day_of!r} must be one of "
+                    f"group_cols {group_cols}"
+                )
+            spec = getattr(bronze, "partition_spec", None)
+            if spec is None:
+                raise ValueError(
+                    f"gold model {name!r}: day_of requires a time-partitioned "
+                    "source table (partition_spec), which this source lacks — "
+                    "day-range pruning would silently scan nothing"
+                )
+        bucket_key = src_keys[0] if src_keys else None
+        if require_pruned and list(group_cols)[0] != bucket_key and day_of is None:
+            raise ValueError(
+                f"gold model {name!r}: require_pruned=True but grouping neither "
+                f"leads with the bucket key ({bucket_key!r}) nor "
+                "declares day_of — every cycle would scan the full source"
+            )
         self.table = table
         self.bronze = bronze
         self.group_cols = list(group_cols)
         self.aggregate = aggregate
         self.name = name
         self.parent = parent
+        self.key_grouped = key_grouped
+        # row_groups AUGMENTS source-shaped rows with the grouping
+        # columns when they are derived (e.g. day = date(ts)); identity
+        # when the group columns are physical. ``aggregate`` receives
+        # the augmented rows and groups by ``group_cols`` directly.
+        self.row_groups = row_groups or (lambda df: df)
+        self.day_of = day_of
+        self.require_pruned = require_pruned
+        self.last_scan: dict | None = None  # {mode, buckets, day_range} — observability
+        self._warned_full_scan = False
 
     def epoch_committed(self, epoch: int) -> bool:
         return self.table.epoch_committed(epoch)
@@ -149,15 +214,14 @@ class AggregateModel:
         bronze: aggregate the CURRENT bronze state (all groups) and
         overwrite, stamped with bronze's last epoch so maintenance
         resumes from the next cycle."""
-        return self.table.overwrite(self.aggregate(self.bronze.read()), epoch_id=epoch_id)
+        return self.table.overwrite(
+            self.aggregate(self.row_groups(self.bronze.read())), epoch_id=epoch_id
+        )
 
-    def _affected_buckets(self, staged: DataFrame) -> list[int] | None:
-        """Bucket-pruned recompute is valid iff grouping leads with the
-        bronze bucket key (a group then lives entirely inside one
-        bucket). Returns None when pruning does not apply. ≤ num_buckets
-        rows collected — same census the engine itself does."""
-        if self.group_cols[0] != self.bronze.key_cols[0]:
-            return None
+    def _delta_buckets(self, staged: DataFrame) -> list[int]:
+        """Buckets the staged delta touches (≤ num_buckets rows
+        collected — same census the engine itself does). Delete rows
+        carry their keys, so every touched bucket is visible."""
         from pyspark.sql import functions as F
 
         from etl_warehouse_agnostic_spark.functions.scalars import bucket_of
@@ -169,13 +233,89 @@ class AggregateModel:
         )
         return sorted(r[0] for r in staged.select(b.alias("_b")).distinct().collect())
 
+    def _touched_groups(self, staged: DataFrame, epoch: int) -> DataFrame:
+        """Distinct group values this epoch touches.
+
+        Key-grouped: the delta itself names them (keys are immutable
+        and present on deletes). Otherwise union in the OLD groups —
+        the pre-epoch snapshot's rows for the delta's keys (bucket-
+        pruned time-travel read), covering updates that move a row
+        between groups and deletes whose payload is NULL."""
+        from pyspark.sql import functions as F
+
+        if self.key_grouped:
+            return (
+                self.row_groups(staged)
+                .select(*self.group_cols)
+                .dropDuplicates(self.group_cols)
+            )
+        ups = staged.where(F.col("op") != "D") if "op" in staged.columns else staged
+        new_groups = self.row_groups(ups).select(*self.group_cols)
+        snap = self.bronze.epoch_snapshot(epoch)
+        if snap is None:
+            raise RuntimeError(
+                f"gold model {self.name!r}: source has no snapshot for epoch "
+                f"{epoch} — models must apply after their source commits it"
+            )
+        keys = list(self.bronze.key_cols)
+        pre = self.bronze.read(
+            version=snap["parent"], buckets=self._delta_buckets(staged)
+        )
+        old_rows = pre.join(staged.select(*keys).dropDuplicates(keys), keys, "left_semi")
+        return (
+            new_groups.unionByName(self.row_groups(old_rows).select(*self.group_cols))
+            .dropDuplicates(self.group_cols)
+        )
+
+    def _recompute_scan(self, staged: DataFrame, touched: DataFrame) -> DataFrame:
+        """Post-epoch source rows to re-aggregate, pruned when possible
+        (see class docstring for the strategy order); records what it
+        did in ``self.last_scan``."""
+        from pyspark.sql import functions as F
+
+        if self.key_grouped and self.group_cols[0] == self.bronze.key_cols[0]:
+            # a group lives entirely inside one bucket
+            buckets = self._delta_buckets(staged)
+            self.last_scan = {"mode": "bucket", "buckets": buckets, "day_range": None}
+            return self.bronze.read(buckets=buckets)
+        if self.day_of is not None:
+            rng = touched.agg(
+                F.min(self.day_of).alias("lo"), F.max(self.day_of).alias("hi")
+            ).first()
+            if rng is None or rng["lo"] is None:
+                self.last_scan = {"mode": "day", "buckets": [], "day_range": None}
+                return self.bronze.read(buckets=[])
+            day_range = (str(rng["lo"]), str(rng["hi"]))
+            self.last_scan = {"mode": "day", "buckets": None, "day_range": day_range}
+            return self.bronze.read(day_range=day_range)
+        if self.require_pruned:
+            raise RuntimeError(
+                f"gold model {self.name!r}: no pruning strategy applies "
+                "(require_pruned=True) — grouping neither leads with the "
+                "bucket key nor declares day_of"
+            )
+        if not self._warned_full_scan:
+            import warnings
+
+            warnings.warn(
+                f"gold model {self.name!r}: recompute falls back to a FULL "
+                f"source scan every cycle (grouping {self.group_cols} neither "
+                f"leads with the bucket key {self.bronze.key_cols[0]!r} nor "
+                "declares day_of) — fine at test scale, a scale-killer on a "
+                "large table",
+                stacklevel=3,
+            )
+            self._warned_full_scan = True
+        self.last_scan = {"mode": "full", "buckets": None, "day_range": None}
+        return self.bronze.read()
+
     def apply_epoch(self, staged: DataFrame, epoch: int) -> MergeResult:
         if self.table.epoch_committed(epoch):
             return MergeResult(0, epoch, 0, 0, 0, skipped=True)
-        touched = staged.select(*self.group_cols).dropDuplicates(self.group_cols)
-        buckets = self._affected_buckets(staged)
-        cur = self.bronze.read(buckets=buckets) if buckets is not None else self.bronze.read()
-        cur = cur.join(touched, self.group_cols, "left_semi")
+        touched = self._touched_groups(staged, epoch)
+        cur = self.row_groups(self._recompute_scan(staged, touched)).join(
+            touched, self.group_cols, "left_semi"
+        )
         out = self.aggregate(cur)
         missing = [k for k in self.group_cols if k not in out.columns]
         if missing:

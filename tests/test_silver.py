@@ -477,3 +477,165 @@ def test_model_dag_validation(spark, tmpdir_path):
     # an AggregateModel cannot be a parent (no recomputable row delta)
     with pytest.raises(ValueError, match="SilverModel"):
         SilverModel(bad_t, lambda df, e: df, name="bad2", parent=gold)
+
+
+# ------------- non-key groupings: old-group tracking + pruning -------------
+
+
+DAY_GOLD_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), True),
+        T.StructField("chars", T.LongType(), True),
+    ]
+)
+
+
+def _day_groups(rows):
+    return rows.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+
+
+def _day_agg(rows):
+    return rows.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).alias("chars"),
+    )
+
+
+def _mk_day_changes(spark):
+    rows = [
+        # epoch 1 (lsn 1-4)
+        (1, "I", "A", 0, "user", "aaa", "2024-01-01 08:00:00"),
+        (2, "I", "A", 1, "user", "bb", "2024-01-01 09:00:00"),
+        (3, "I", "B", 0, "user", "cccc", "2024-01-02 08:00:00"),
+        (4, "I", "C", 0, "user", "d", "2024-01-03 08:00:00"),
+        # epoch 2 (lsn 5-8): the two old-group hazards
+        (5, "U", "A", 0, "user", "zzzz", "2024-01-03 10:00:00"),  # moves day 01→03
+        (6, "D", "B", 0, None, None, None),                       # empties day 02
+        (7, "I", "D", 0, "user", "ee", "2024-01-01 10:00:00"),
+        (8, "U", "C", 0, "user", "ddd", "2024-01-03 11:00:00"),
+    ]
+    return spark.createDataFrame(
+        [(l, o, c, t, r, x, ts) for (l, o, c, t, r, x, ts) in rows],
+        "lsn long, op string, conv_id string, turn_idx int, "
+        "role string, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_gold_day_rollup_old_group_tracking_and_day_pruning(spark, tmpdir_path):
+    """A day rollup (non-key grouping over a MUTABLE ts): an update
+    that moves a row across days must recompute the row's OLD day, and
+    a delete (NULL payload in the delta) must recompute the day it
+    vacated — both via the pre-epoch snapshot lookup. The recompute
+    scan must be day-range pruned (require_pruned=True), never a full
+    table scan."""
+    from etl_warehouse_agnostic_spark.silver import AggregateModel
+
+    chg = _mk_day_changes(spark)
+    bronze = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "bronze"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS,
+        num_buckets=2, partition_spec={"col": "ts", "transform": "day"},
+    )
+    gold_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gold"), DAY_GOLD_SCHEMA, ["day"], num_buckets=2
+    )
+    gold = AggregateModel(
+        gold_t, bronze, ["day"], _day_agg, name="day_rollup",
+        row_groups=_day_groups, day_of="day", require_pruned=True,
+    )
+    eng = CdcEngine(
+        spark, bronze, ManifestStore(os.path.join(tmpdir_path, "ck")),
+        num_salts=2, silver_models=[gold],
+    )
+    results = eng.run(ChangeStreamSource(spark, df=chg), epoch_size=4)
+    assert len(results) == 2
+    assert gold.last_scan is not None and gold.last_scan["mode"] == "day"
+
+    got = sorted(tuple(r) for r in gold_t.read().collect())
+    # 01-02 must be GONE (its only row was deleted — old group via
+    # pre-state); 01-01 must have shrunk to 2 rows (A/0 moved out)
+    assert got == [
+        ("2024-01-01", 2, 4),   # A/1 "bb" + D/0 "ee"
+        ("2024-01-03", 2, 7),   # A/0 "zzzz" + C/0 "ddd"
+    ]
+    # and equals a from-scratch recompute of the final bronze state
+    want = sorted(tuple(r) for r in _day_agg(_day_groups(bronze.read())).collect())
+    assert got == want
+
+    # the day-range read opens strictly fewer files than a full scan
+    pruned = set(bronze.read(day_range=("2024-01-01", "2024-01-01")).inputFiles())
+    full = set(bronze.read().inputFiles())
+    assert pruned and pruned < full
+
+
+def test_gold_non_key_grouping_guards(spark, tmpdir_path):
+    """Misuse fails loudly at construction: non-key grouping over an
+    unversioned source; day_of not a group col; day_of without a time
+    partition; require_pruned with no applicable strategy."""
+    import pytest
+
+    from etl_warehouse_agnostic_spark.lake.backends import SqliteBackend
+    from etl_warehouse_agnostic_spark.silver import AggregateModel
+
+    bronze = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "bronze"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=2
+    )
+    gold_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gold"), DAY_GOLD_SCHEMA, ["day"], num_buckets=2
+    )
+    wh = SqliteBackend.create(
+        spark, os.path.join(tmpdir_path, "wh.db"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    with pytest.raises(ValueError, match="old-group tracking"):
+        AggregateModel(gold_t, wh, ["day"], _day_agg, row_groups=_day_groups)
+    with pytest.raises(ValueError, match="must be one of group_cols"):
+        AggregateModel(gold_t, bronze, ["day"], _day_agg,
+                       row_groups=_day_groups, day_of="ts")
+    with pytest.raises(ValueError, match="time-partitioned"):
+        AggregateModel(gold_t, bronze, ["day"], _day_agg,
+                       row_groups=_day_groups, day_of="day")
+    with pytest.raises(ValueError, match="require_pruned"):
+        AggregateModel(gold_t, bronze, ["day"], _day_agg,
+                       row_groups=_day_groups, require_pruned=True)
+
+
+def test_gold_full_scan_fallback_warns_and_stays_correct(spark, tmpdir_path):
+    """A physical non-key grouping (by role — mutable on update) with
+    no pruning strategy: warns ONCE about the per-cycle full scan, and
+    old-group tracking still converges to the from-scratch rollup."""
+    import warnings
+
+    from etl_warehouse_agnostic_spark.silver import AggregateModel
+
+    chg = generate_changes(spark, 3000, n_convs=40, turns_per_conv=8, seed=34).localCheckpoint()
+    bronze = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "bronze"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=4
+    )
+    role_schema = T.StructType(
+        [
+            T.StructField("role", T.StringType(), False),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+    gold_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gold"), role_schema, ["role"], num_buckets=2
+    )
+
+    def role_agg(rows):
+        return rows.groupBy("role").agg(F.count(F.lit(1)).alias("n"))
+
+    gold = AggregateModel(gold_t, bronze, ["role"], role_agg, name="role_rollup")
+    eng = CdcEngine(
+        spark, bronze, ManifestStore(os.path.join(tmpdir_path, "ck")),
+        num_salts=4, silver_models=[gold],
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng.run(ChangeStreamSource(spark, df=chg), epoch_size=EPOCH_SIZE)
+        full_scan_warnings = [x for x in w if "FULL" in str(x.message)]
+    assert len(full_scan_warnings) == 1  # once per model, not per epoch
+    assert gold.last_scan is not None and gold.last_scan["mode"] == "full"
+
+    got = sorted(tuple(r) for r in gold_t.read().collect())
+    want = sorted(tuple(r) for r in role_agg(bronze.read()).collect())
+    assert got == want and len(want) > 0
