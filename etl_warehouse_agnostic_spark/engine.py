@@ -270,6 +270,30 @@ class CdcEngine:
                     "(model.bootstrap(...)) or rebuild its table before attaching"
                 )
 
+    def _check_silver_current_warehouse(self) -> None:
+        """Warehouse-path analog of :meth:`_check_silver_current`: a
+        FINALIZED epoch a model never committed is unreachable (the
+        warehouse path retains no staged delta at all), so maintaining
+        forward would silently miss it — fail loudly with the
+        bootstrap pointer. Un-finalized epochs are fine: the loop
+        replays them inline."""
+        if not self.silver_models:
+            return
+        finalized = self.checkpoints.epochs()
+        if not finalized:
+            return
+        for m in self.silver_models:
+            committed = set(m.table.committed_epochs())
+            behind = [e for e in finalized if e not in committed and e > m.last_epoch()]
+            if behind:
+                raise ValueError(
+                    f"silver model {m.name!r} is missing finalized epoch(s) "
+                    f"{behind[:5]}{'...' if len(behind) > 5 else ''} and the "
+                    "warehouse path retains no staged deltas — bootstrap it "
+                    "(model.bootstrap(...)) or rebuild its table before "
+                    "attaching"
+                )
+
     def _recover_silver(self) -> None:
         """Catch silver models up from retained staging dirs — the
         crash window between bronze manifest-finalize and silver apply
@@ -565,9 +589,20 @@ class CdcEngine:
         start from the healed watermark, not a stale one. Epochs whose
         ledger predates the lsn columns (legacy) heal inline at their
         replay instead (the recomputed bounds are all we have)."""
+        self._check_silver_current_warehouse()
         healed: list[int] = []
         for epoch in warehouse.committed_epochs():
             if self.checkpoints.is_finalized(epoch):
+                continue
+            if self.silver_models and not all(
+                m.epoch_committed(epoch) for m in self.silver_models
+            ):
+                # A crash between the warehouse merge and the model
+                # applies: finalizing here would advance the watermark
+                # past rows the models never saw. Leave the epoch
+                # un-finalized — the loop replays it, the warehouse
+                # merge skips via its ledger, and the models catch up
+                # from the recomputed slice before the late finalize.
                 continue
             info = warehouse.epoch_info(epoch)
             if info is None or info.get("lsn_hi") is None or info.get("lsn_lo") is None:
@@ -663,6 +698,15 @@ class CdcEngine:
             if (added and self.arrow_projection)
             else project_columns(deduped, schema, keep=envelope)
         )
+        if self.silver_models:
+            # The warehouse path has no staged-delta files to reuse, so
+            # each attached model would otherwise recompute the slice +
+            # dedup from source. Materialize the deduped delta once
+            # (epoch-bounded); the warehouse merge and every model then
+            # read the same cached partitions. On a cluster a lost
+            # checkpoint partition fails the epoch, which simply
+            # replays — same at-least-once retry story as any task.
+            projected = projected.localCheckpoint()
         upserts, deletes = split_ops(projected)
         if lsn_range is None:
             row = changes.agg(F.min("lsn"), F.max("lsn")).first()
@@ -692,6 +736,15 @@ class CdcEngine:
                     lsn_range[0] if lo is None else int(lo),
                     int(info["lsn_hi"]),
                 )
+        # Curated models on the warehouse path (the reference ran its
+        # dbt models AGAINST the warehouse, airflow/dags/repsly_dag.py:
+        # 643-1040): same DAG walk, fed the deduped projected delta,
+        # applied BEFORE finalize — a crash mid-models leaves the epoch
+        # un-finalized, so the loop replays it (the warehouse merge
+        # skips via its ledger) and the models catch up exactly-once
+        # from the recomputed slice.
+        if self.silver_models:
+            self._apply_silver(projected, epoch)
         manifest = {
             "epoch": epoch,
             "offsets": {"all": {"max_lsn": lsn_range[1], "rows": res.rows_written}},

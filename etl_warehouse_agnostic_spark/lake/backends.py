@@ -123,6 +123,13 @@ class LakeBackend:
     def committed_epochs(self) -> list[int]:
         return self.table.committed_epochs()
 
+    def epoch_committed(self, epoch_id: int) -> bool:
+        return self.table.epoch_committed(epoch_id)
+
+    @property
+    def key_cols(self) -> list[str]:
+        return self.table.key_cols
+
     def epoch_lsn_range(self, epoch_id: int) -> tuple[int, int] | None:
         snap = self.table.epoch_snapshot(epoch_id)
         if snap is None:
@@ -280,6 +287,10 @@ class DuckBackend:
             "SELECT count(*) FROM _epochs WHERE epoch_id = ?", [epoch_id]
         ).fetchone()
         return bool(r[0])
+
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self._keys)
 
     def committed_epochs(self) -> list[int]:
         return [r[0] for r in self._con.execute("SELECT epoch_id FROM _epochs ORDER BY 1").fetchall()]
@@ -610,6 +621,10 @@ class SqliteBackend:
             "SELECT count(*) FROM _epochs WHERE epoch_id = ?", [epoch_id]
         ).fetchone()
         return bool(r[0])
+
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self._keys)
 
     def committed_epochs(self) -> list[int]:
         return [r[0] for r in self._con.execute("SELECT epoch_id FROM _epochs ORDER BY 1")]

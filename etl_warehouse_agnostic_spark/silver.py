@@ -178,12 +178,14 @@ class AggregateModel:
                     "source table (partition_spec), which this source lacks — "
                     "day-range pruning would silently scan nothing"
                 )
-        bucket_key = src_keys[0] if src_keys else None
-        if require_pruned and list(group_cols)[0] != bucket_key and day_of is None:
+        bucketed_source = hasattr(bronze, "num_buckets")
+        bucket_key = src_keys[0] if (src_keys and bucketed_source) else None
+        if require_pruned and (list(group_cols)[0] != bucket_key or not bucketed_source) and day_of is None:
             raise ValueError(
                 f"gold model {name!r}: require_pruned=True but grouping neither "
-                f"leads with the bucket key ({bucket_key!r}) nor "
-                "declares day_of — every cycle would scan the full source"
+                f"leads with the bucket key of a bucketed lake source "
+                f"({bucket_key!r}) nor declares day_of — every cycle would "
+                "scan the full source"
             )
         self.table = table
         self.bronze = bronze
@@ -199,6 +201,7 @@ class AggregateModel:
         self.row_groups = row_groups or (lambda df: df)
         self.day_of = day_of
         self.require_pruned = require_pruned
+        self._bucketed_source = bucketed_source
         self.last_scan: dict | None = None  # {mode, buckets, day_range} — observability
         self._warned_full_scan = False
 
@@ -273,7 +276,11 @@ class AggregateModel:
         did in ``self.last_scan``."""
         from pyspark.sql import functions as F
 
-        if self.key_grouped and self.group_cols[0] == self.bronze.key_cols[0]:
+        if (
+            self._bucketed_source
+            and self.key_grouped
+            and self.group_cols[0] == self.bronze.key_cols[0]
+        ):
             # a group lives entirely inside one bucket
             buckets = self._delta_buckets(staged)
             self.last_scan = {"mode": "bucket", "buckets": buckets, "day_range": None}
