@@ -115,6 +115,7 @@ class CdcEngine:
         maintenance_every: int | None = None,
         maintenance_target_file_bytes: int = 128 * 1024 * 1024,
         maintenance_min_files: int = 2,
+        bootstrap_if_behind: bool = False,
     ):
         self.spark = spark
         self.table = table
@@ -156,6 +157,14 @@ class CdcEngine:
         self.maintenance_target_file_bytes = maintenance_target_file_bytes
         self.maintenance_min_files = maintenance_min_files
         self.maintenance_log: list[dict] = []
+        # Late-attach policy: by default a model that is behind with
+        # its input deltas unrecoverable fails LOUDLY (silent forward
+        # maintenance would permanently miss those epochs). Opt-in
+        # bootstrap_if_behind=True runs model.bootstrap automatically
+        # instead — a full refresh stamped with the last finalized
+        # epoch, logged in bootstrap_log.
+        self.bootstrap_if_behind = bootstrap_if_behind
+        self.bootstrap_log: list[dict] = []
 
     # ---------------- recovery (T2) ----------------
 
@@ -186,8 +195,11 @@ class CdcEngine:
                     manifest.setdefault("committed_at", snap["committed_at"])
                     self.checkpoints.finalize(epoch, manifest)
                     healed.append(epoch)
-        self._recover_silver()
+        # Check (and possibly auto-bootstrap) BEFORE replaying staged
+        # deltas: a bootstrap stamped with the last finalized epoch
+        # already covers any still-staged epoch's content from bronze.
         self._check_silver_current()
+        self._recover_silver()
         self._sweep_staging()
         return healed
 
@@ -263,14 +275,18 @@ class CdcEngine:
             last = m.last_epoch()
             behind = [e for e in finalized if e > last and e not in staged]
             if behind:
+                if self.bootstrap_if_behind:
+                    self._bootstrap_model(m, self.table, behind)
+                    continue
                 raise ValueError(
                     f"silver model {m.name!r} is missing epoch(s) "
                     f"{behind[:5]}{'...' if len(behind) > 5 else ''} whose staged "
                     "deltas are gone — bootstrap it from bronze "
-                    "(model.bootstrap(...)) or rebuild its table before attaching"
+                    "(model.bootstrap(...)) or rebuild its table before "
+                    "attaching, or attach with bootstrap_if_behind=True"
                 )
 
-    def _check_silver_current_warehouse(self) -> None:
+    def _check_silver_current_warehouse(self, warehouse) -> None:
         """Warehouse-path analog of :meth:`_check_silver_current`: a
         FINALIZED epoch a model never committed is unreachable (the
         warehouse path retains no staged delta at all), so maintaining
@@ -286,13 +302,33 @@ class CdcEngine:
             committed = set(m.table.committed_epochs())
             behind = [e for e in finalized if e not in committed and e > m.last_epoch()]
             if behind:
+                if self.bootstrap_if_behind:
+                    self._bootstrap_model(m, warehouse, behind)
+                    continue
                 raise ValueError(
                     f"silver model {m.name!r} is missing finalized epoch(s) "
                     f"{behind[:5]}{'...' if len(behind) > 5 else ''} and the "
                     "warehouse path retains no staged deltas — bootstrap it "
                     "(model.bootstrap(...)) or rebuild its table before "
-                    "attaching"
+                    "attaching, or attach with bootstrap_if_behind=True"
                 )
+
+    def _bootstrap_model(self, m, default_source, behind: list[int]) -> None:
+        """Auto-bootstrap a behind model (opt-in): full refresh from its
+        actual input — its parent's table when chained, else the bronze
+        table / warehouse target — stamped with the last finalized
+        epoch so incremental maintenance resumes from the next cycle.
+        Models are walked in topo order, so a chained model bootstraps
+        AFTER its parent is current."""
+        epoch_id = self.checkpoints.last_epoch()
+        src = m.parent.table if getattr(m, "parent", None) is not None else default_source
+        if hasattr(m, "aggregate"):  # AggregateModel reads its own source
+            m.bootstrap(epoch_id)
+        else:
+            m.bootstrap(src, epoch_id)
+        self.bootstrap_log.append(
+            {"model": m.name, "epoch_id": epoch_id, "covered": list(behind)}
+        )
 
     def _recover_silver(self) -> None:
         """Catch silver models up from retained staging dirs — the
@@ -500,12 +536,25 @@ class CdcEngine:
             return
         if epochs_done == 0 or epochs_done % self.maintenance_every:
             return
-        res = self.table.rewrite_small_files(
-            target_file_bytes=self.maintenance_target_file_bytes,
-            min_files=self.maintenance_min_files,
-        )
-        res["after_epoch"] = self.checkpoints.last_epoch()
-        self.maintenance_log.append(res)
+        # Bronze AND every attached model table: silver/gold merge per
+        # epoch and fragment exactly like bronze does (VERDICT r5 #4 —
+        # a long-running deployment with models attached otherwise
+        # re-acquires the problem this hook solves). Model tables on a
+        # warehouse backend compact themselves (server-side merges) and
+        # are skipped.
+        targets = [("bronze", self.table)] + [
+            (m.name, m.table)
+            for m in self.silver_models
+            if hasattr(m.table, "rewrite_small_files")
+        ]
+        for label, t in targets:
+            res = t.rewrite_small_files(
+                target_file_bytes=self.maintenance_target_file_bytes,
+                min_files=self.maintenance_min_files,
+            )
+            res["table"] = label
+            res["after_epoch"] = self.checkpoints.last_epoch()
+            self.maintenance_log.append(res)
 
     def run(
         self,
@@ -589,7 +638,7 @@ class CdcEngine:
         start from the healed watermark, not a stale one. Epochs whose
         ledger predates the lsn columns (legacy) heal inline at their
         replay instead (the recomputed bounds are all we have)."""
-        self._check_silver_current_warehouse()
+        self._check_silver_current_warehouse(warehouse)
         healed: list[int] = []
         for epoch in warehouse.committed_epochs():
             if self.checkpoints.is_finalized(epoch):

@@ -66,11 +66,86 @@ def to_media_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _pil():
+    """The optional imaging dependency, or None. Resolved at call time
+    (inside the Arrow worker too) so installing PIL on the executors is
+    all a deployment needs."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image_stub(payload: bytes) -> "object":
     """Where a real pipeline calls PIL/libvips. Deliberately stubbed:
     the container has no imaging libs; at deployment, swap in
     ``PIL.Image.open(io.BytesIO(payload))`` here."""
     raise NotImplementedError("image decode requires PIL/libvips — not in this container")
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decode when PIL is importable (returns a PIL.Image), else
+    the declared stub raise — the single swap-in point for both
+    :func:`decode_dimensions` and ``extract_features(try_decode=True)``."""
+    Image = _pil()
+    if Image is None:
+        return decode_image_stub(payload)
+    import io
+
+    return Image.open(io.BytesIO(payload))
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mode", T.StringType(), True),
+    ]
+)
+
+
+def decode_dimensions(media: DataFrame) -> DataFrame:
+    """REAL image decode over the Arrow batch path (PIL required on the
+    executors — gated by ``importorskip`` in tests, the stub raise
+    otherwise): one pandas batch in, per-row decoded dimensions out.
+    Undecodable payloads yield ok=False rows rather than failing the
+    batch — at corpus scale a poison payload must never kill the job."""
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, oks, ws, hs, modes = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    img = decode_image(payload)
+                    oks.append(True)
+                    ws.append(img.size[0])
+                    hs.append(img.size[1])
+                    modes.append(img.mode)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    oks.append(False)
+                    ws.append(None)
+                    hs.append(None)
+                    modes.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="Int64"),
+                    "ok": oks,
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "mode": modes,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
 def resize_plan_columns(max_dim: int) -> list:
@@ -150,9 +225,9 @@ def extract_features(
             decoded = False
             if try_decode:
                 try:
-                    decode_image_stub(payload.iloc[0] if len(payload) else b"")
+                    decode_image(payload.iloc[0] if len(payload) else b"")
                     decoded = True
-                except NotImplementedError:
+                except Exception:
                     decoded = False
             out = {
                 "media_id": pdf["media_id"],

@@ -639,3 +639,34 @@ def test_gold_full_scan_fallback_warns_and_stays_correct(spark, tmpdir_path):
     got = sorted(tuple(r) for r in gold_t.read().collect())
     want = sorted(tuple(r) for r in role_agg(bronze.read()).collect())
     assert got == want and len(want) > 0
+
+
+def test_bootstrap_if_behind_auto_bootstraps(spark, tmpdir_path):
+    """Opt-in late-attach ergonomics: with bootstrap_if_behind=True the
+    engine full-refreshes a behind model automatically (stamped with
+    bronze's last epoch) instead of raising, then maintains it
+    incrementally; the loud raise stays the default."""
+    from etl_warehouse_agnostic_spark.silver import AggregateModel
+
+    chg = generate_changes(spark, 3000, n_convs=40, turns_per_conv=8, seed=35).localCheckpoint()
+    half = chg.where(F.col("lsn") <= 2000)
+    bronze = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "bronze"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=4
+    )
+    ck = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    eng0 = CdcEngine(spark, bronze, ck, num_salts=4)
+    assert len(eng0.run(ChangeStreamSource(spark, df=half), epoch_size=EPOCH_SIZE)) == 2
+
+    gold_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gold"), GOLD_SCHEMA, ["conv_id"], num_buckets=4
+    )
+    gold = AggregateModel(gold_t, bronze, ["conv_id"], _gold_agg)
+    eng = CdcEngine(
+        spark, bronze, ck, num_salts=4, silver_models=[gold], bootstrap_if_behind=True
+    )
+    eng.run(ChangeStreamSource(spark, df=chg), epoch_size=EPOCH_SIZE)  # no raise
+    assert eng.bootstrap_log and eng.bootstrap_log[0]["model"] == "gold"
+    assert eng.bootstrap_log[0]["covered"] == [1, 2]
+    assert _gold_rows(gold_t) == sorted(tuple(r) for r in _gold_agg(bronze.read()).collect())
+    # incremental epoch 3 actually committed on top of the bootstrap
+    assert 3 in gold_t.committed_epochs()

@@ -196,3 +196,29 @@ def test_warehouse_gold_rollup(spark, tmpdir_path):
     got = sorted(tuple(r) for r in gold_wh.read().collect())
     want = sorted(tuple(r) for r in agg(wh.read()).collect())
     assert got == want and len(want) > 0
+
+
+def test_warehouse_bootstrap_if_behind(spark, tmpdir_path):
+    """The auto-bootstrap opt-in on the warehouse path: a behind model
+    is full-refreshed from the warehouse state, then maintained."""
+    chg = generate_changes(spark, 3000, n_convs=40, turns_per_conv=8, seed=45).localCheckpoint()
+    half = chg.where(F.col("lsn") <= 2000)
+    wh = SqliteBackend.create(
+        spark, os.path.join(tmpdir_path, "wh.db"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS
+    )
+    ck = ManifestStore(os.path.join(tmpdir_path, "ck"))
+    eng0 = CdcEngine(spark, None, ck, num_salts=4)
+    assert len(eng0.run_warehouse(wh, ChangeStreamSource(spark, df=half), epoch_size=EPOCH_SIZE)) == 2
+
+    silver_wh = SqliteBackend.create(
+        spark, os.path.join(tmpdir_path, "silver.db"), SILVER_SCHEMA, KEY_COLS
+    )
+    model = SilverModel(silver_wh, _transform, name="turns_silver")
+    eng = CdcEngine(
+        spark, None, ck, num_salts=4, silver_models=[model], bootstrap_if_behind=True
+    )
+    eng.run_warehouse(wh, ChangeStreamSource(spark, df=chg), epoch_size=EPOCH_SIZE)
+    assert eng.bootstrap_log and eng.bootstrap_log[0]["covered"] == [1, 2]
+    got = _silver_rows(silver_wh)
+    want = [(c, t, r, l, e if e >= 3 else 2) for (c, t, r, l, e) in _expected(chg)]
+    assert got == sorted(want)
