@@ -1066,11 +1066,19 @@ def q_silver_incremental(spark, sf_dir):
       maintained by affected-group recompute with bucket-pruned bronze
       reads (the incremental-aggregate shape running aggregates cannot
       express once deletes exist);
+    - 'gold_from_silver' rows: a CHAINED ``AggregateModel`` hanging off
+      the SilverModel itself (``parent=``) — the dbt raw → staging →
+      curated graph (dbt/models/staging/repsly/forms_items.sql:34,
+      ``ref('forms_staging')``): its input is the silver model's own
+      per-epoch output delta, recomputed lazily from the one bronze
+      staged delta, and its recompute reads the SILVER table
+      bucket-pruned;
     across ≥3 epochs plus a replay that must be a version-stable no-op
-    on both tables. The oracle recomputes BOTH models from scratch in
-    SQL (deriving each silver winner's cycle from its lsn slice), so
+    on every table. The oracle recomputes ALL THREE models from scratch
+    in SQL (the chained rollup from the recomputed silver state), so
     the driver hash proves incremental maintenance == full rebuild for
-    the row-wise AND the aggregate case."""
+    the row-wise, the aggregate, AND the chained (model-of-model)
+    case."""
     from pyspark.sql import types as T
 
     from etl_warehouse_agnostic_spark.engine import CdcEngine
@@ -1100,6 +1108,15 @@ def q_silver_incremental(spark, sf_dir):
             F.sum(F.length("text")).alias("text_chars"),
         )
 
+    def rollup2(rows):
+        # aggregates SILVER-shaped rows (the chained model's input is
+        # the silver table, not bronze) — incl. the per-cycle stamp
+        return rows.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.sum("text_len").cast("long").alias("sum_text_len"),
+            F.max("_ingest_epoch").cast("int").alias("last_cycle"),
+        )
+
     # silver schema = the transform's output shape (derived, not typed twice)
     staged_shape = T.StructType(
         list(bronze_schema.fields)
@@ -1107,6 +1124,7 @@ def q_silver_incremental(spark, sf_dir):
     )
     silver_schema = transform(spark.createDataFrame([], staged_shape), 0).schema
     gold_schema = rollup(spark.createDataFrame([], bronze_schema)).schema
+    gold2_schema = rollup2(spark.createDataFrame([], silver_schema)).schema
 
     root = tempfile.mkdtemp(prefix="etlwa-silver-")
     try:
@@ -1119,39 +1137,70 @@ def q_silver_incremental(spark, sf_dir):
         gold = LakeTable.create(
             spark, os.path.join(root, "gold"), gold_schema, ["conv_id"], num_buckets=8
         )
+        gold2 = LakeTable.create(
+            spark, os.path.join(root, "gold2"), gold2_schema, ["conv_id"], num_buckets=8
+        )
+        silver_model = SilverModel(silver, transform, name="turns_silver")
         models = [
-            SilverModel(silver, transform, name="turns_silver"),
+            silver_model,
             AggregateModel(gold, bronze, ["conv_id"], rollup, name="conv_rollup"),
+            AggregateModel(
+                gold2, None, ["conv_id"], rollup2,
+                name="conv_rollup_from_silver", parent=silver_model,
+            ),
         ]
         ck = ManifestStore(os.path.join(root, "ck"))
         eng = CdcEngine(spark, bronze, ck, num_salts=8, silver_models=models)
         src = ChangeStreamSource(spark, df=chg)
         results = eng.run(src, epoch_size=_SILVER_EPOCH_SIZE)
         assert len(results) >= 3, "need ≥3 epochs of genuine incremental maintenance"
-        assert silver.committed_epochs() == gold.committed_epochs() == bronze.committed_epochs()
-        vs, vg = silver.latest_version(), gold.latest_version()
+        assert (
+            silver.committed_epochs() == gold.committed_epochs()
+            == gold2.committed_epochs() == bronze.committed_epochs()
+        )
+        vs, vg, v2 = silver.latest_version(), gold.latest_version(), gold2.latest_version()
         assert eng.run(src, epoch_size=_SILVER_EPOCH_SIZE) == []  # replay no-op
-        assert (silver.latest_version(), gold.latest_version()) == (vs, vg)
+        assert (
+            silver.latest_version(), gold.latest_version(), gold2.latest_version()
+        ) == (vs, vg, v2)
 
         gold_nulls = [
             F.lit(None).cast("long").alias("n_turns"),
             F.lit(None).cast("int").alias("last_turn"),
             F.lit(None).cast("long").alias("text_chars"),
         ]
-        s = silver.read().select(F.lit("silver").alias("part"), "*", *gold_nulls)
+        gold2_nulls = [
+            F.lit(None).cast("long").alias("n_msgs"),
+            F.lit(None).cast("long").alias("sum_text_len"),
+            F.lit(None).cast("int").alias("last_cycle"),
+        ]
+        silver_nulls = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in silver_schema.fields
+            if f.name != "conv_id"
+        ]
+        s = silver.read().select(
+            F.lit("silver").alias("part"), "*", *gold_nulls, *gold2_nulls
+        )
         g = gold.read().select(
             F.lit("gold").alias("part"),
             "conv_id",
-            *[
-                F.lit(None).cast(f.dataType).alias(f.name)
-                for f in silver_schema.fields
-                if f.name != "conv_id"
-            ],
+            *silver_nulls,
             F.col("n_turns").cast("long"),
             F.col("last_turn").cast("int"),
             F.col("text_chars").cast("long"),
+            *gold2_nulls,
         )
-        return s.unionByName(g).localCheckpoint()
+        g2 = gold2.read().select(
+            F.lit("gold_from_silver").alias("part"),
+            "conv_id",
+            *silver_nulls,
+            *gold_nulls,
+            F.col("n_msgs").cast("long"),
+            F.col("sum_text_len").cast("long"),
+            F.col("last_cycle").cast("int"),
+        )
+        return s.unionByName(g).unionByName(g2).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1867,8 +1916,9 @@ ORACLES: dict[str, str] = {
     # same assumption as pipeline_health).
     "silver_incremental": f"""
         WITH cur AS (SELECT * FROM ({LWW_SQL}) WHERE op <> 'D'),
-        en AS (SELECT *, json_extract_string(text, '$.k') AS k_val FROM cur)
-        SELECT 'silver' AS part, conv_id, turn_idx,
+        en AS (SELECT *, json_extract_string(text, '$.k') AS k_val FROM cur),
+        sil AS (
+        SELECT conv_id, turn_idx,
                trim(role) AS role_trim,
                upper(role) AS role_u,
                lower(role) AS role_l,
@@ -1901,11 +1951,16 @@ ORACLES: dict[str, str] = {
                greatest(turn_idx, 1) AS turn_floor,
                'events' AS _source_system,
                'transcripts_changes' AS _endpoint,
-               CAST(floor((lsn - 1) / 2000) AS INT) + 1 AS _ingest_epoch,
+               CAST(floor((lsn - 1) / 2000) AS INT) + 1 AS _ingest_epoch
+        FROM en)
+        SELECT 'silver' AS part, sil.*,
                CAST(NULL AS BIGINT) AS n_turns,
                CAST(NULL AS INT) AS last_turn,
-               CAST(NULL AS BIGINT) AS text_chars
-        FROM en
+               CAST(NULL AS BIGINT) AS text_chars,
+               CAST(NULL AS BIGINT) AS n_msgs,
+               CAST(NULL AS BIGINT) AS sum_text_len,
+               CAST(NULL AS INT) AS last_cycle
+        FROM sil
         UNION ALL
         -- gold section: the per-conversation rollup recomputed from
         -- scratch over the final LWW state (the AggregateModel's
@@ -1923,8 +1978,31 @@ ORACLES: dict[str, str] = {
                NULL AS _endpoint, NULL AS _ingest_epoch,
                CAST(count(*) AS BIGINT) AS n_turns,
                CAST(max(turn_idx) AS INT) AS last_turn,
-               CAST(sum(length(text)) AS BIGINT) AS text_chars
+               CAST(sum(length(text)) AS BIGINT) AS text_chars,
+               NULL AS n_msgs, NULL AS sum_text_len, NULL AS last_cycle
         FROM cur GROUP BY conv_id
+        UNION ALL
+        -- chained gold-from-silver: the second-level model rebuilt
+        -- from scratch over the RECOMPUTED silver state — proves the
+        -- engine's chained incremental maintenance (silver's own
+        -- per-epoch delta feeding the downstream rollup) converges to
+        -- the model-of-model full rebuild
+        SELECT 'gold_from_silver' AS part, conv_id,
+               NULL AS turn_idx, NULL AS role_trim, NULL AS role_u,
+               NULL AS role_l, NULL AS k_clean, NULL AS role_or_unknown,
+               NULL AS phase, NULL AS has_ick, NULL AS has_view,
+               NULL AS has_nine, NULL AS k_dec, NULL AS ts_be,
+               NULL AS ts_ms, NULL AS conv_prefix, NULL AS conv_num,
+               NULL AS conv_digits, NULL AS turn_key, NULL AS text_len,
+               NULL AS yyyymm, NULL AS y, NULL AS q, NULL AS even_flag,
+               NULL AS role_nz, NULL AS record_hash, NULL AS lsn_k,
+               NULL AS turn_floor, NULL AS _source_system,
+               NULL AS _endpoint, NULL AS _ingest_epoch,
+               NULL AS n_turns, NULL AS last_turn, NULL AS text_chars,
+               CAST(count(*) AS BIGINT) AS n_msgs,
+               CAST(sum(text_len) AS BIGINT) AS sum_text_len,
+               CAST(max(_ingest_epoch) AS INT) AS last_cycle
+        FROM sil GROUP BY conv_id
     """,
     "time_partition_scan": f"""
         SELECT CAST(ts AS DATE) AS day, op, count(*) AS n, max(lsn) AS max_lsn
