@@ -92,6 +92,46 @@ def main() -> int:
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
 
+    # ---- host-noise anchor (VERDICT r5 #2) ----
+    # This sandbox host is bimodal (up to ~2.4× uniform slow-mode
+    # windows, documented since r2). A fixed CPU-bound probe timed
+    # between row groups makes a slow window machine-detectable in the
+    # artifact itself: every row is tagged with its window's noise
+    # factor (window probe / fastest probe), and rows timed in a >1.5×
+    # window are listed in noise.noisy_rows — no more per-round
+    # forensics over whether a slow row is code or host.
+    from pyspark.sql import functions as F
+
+    # ~0.5 s of pure JVM compute per probe — long enough that scheduler
+    # jitter is noise and the host's uniform slow mode is the signal.
+    # A FRESH plan per call: re-collecting one DataFrame would reuse
+    # its materialized shuffle stage and time nothing.
+    probe_rows = 6_000_000 * cpus
+    probes: dict[str, float] = {}
+    probe_order: list[str] = []
+
+    def _probe_plan(salt: int):
+        return spark.range(salt, salt + probe_rows).select(
+            F.sum(F.xxhash64("id").cast("decimal(38,0)")).alias("h")
+        )
+
+    def probe(tag: str) -> None:
+        # min of two back-to-back runs: short-lived scheduler jitter
+        # (~1.5×) washes out; the uniform ≥2× slow mode does not.
+        best = None
+        for k in (1, 2):
+            t0 = time.monotonic()
+            _probe_plan(2 * len(probe_order) + k).collect()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        probes[tag] = round(best, 3)
+        probe_order.append(tag)
+
+    _probe_plan(0).collect()  # codegen warm-up, unrecorded
+
+    probe("start")
+    row_window: dict[str, str] = {}
+
     # ---- headline metric: CDC apply throughput ----
     n_events = int(40_000_000 * sf)
     n_convs = max(1000, int(400_000 * sf))
@@ -115,6 +155,8 @@ def main() -> int:
         results = eng.run(src, epoch_size=max(1, n_events // 2))
         apply_wall = time.monotonic() - t0
         eps = n_events / apply_wall
+        probe("apply")
+        row_window["cdc_apply_loop"] = "apply"
 
         # ---- warehouse-agnostic loop: same stream, duckdb backend ----
         # (run_warehouse + executor-side parquet hand-off; tracked since
@@ -136,6 +178,8 @@ def main() -> int:
             epoch_size=max(1, n_events // 2),
         )
         warehouse_wall = time.monotonic() - t0
+        probe("warehouse")
+        row_window["warehouse_apply_loop"] = "warehouse"
 
         # ---- orchestrated multi-source run: 2 disjoint streams,
         # concurrent level scheduling, own tables + namespaces ----
@@ -158,6 +202,8 @@ def main() -> int:
         ms_out = runner.run_all(max_parallel=2)
         multi_wall = time.monotonic() - t0
         assert all(r.status == "ran" for r in ms_out.values())
+        probe("multi")
+        row_window["multi_source_loop"] = "multi"
 
         # ---- Arrow python-worker warm-up (r4 verdict #6) ----
         # The first Arrow-batched call in a session pays python-worker
@@ -178,11 +224,33 @@ def main() -> int:
             "blocked_near_pairs": _q_blocked_near_pairs,
             "silver_model": _q_silver_model,
         }
-        for name in HEADLINE:
+        for i, name in enumerate(HEADLINE):
             fn = QUERIES.get(name) or extra[name]
             t0 = time.monotonic()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.monotonic() - t0, 3)
+            row_window[name] = f"q{i // 4}"
+            if i % 4 == 3 or i == len(HEADLINE) - 1:
+                probe(f"q{i // 4}")
+
+        # A row's window factor is the worse of the probes bracketing
+        # it (host mode can flip mid-group).
+        probe_min = min(probes.values())
+        factor = {t: round(probes[t] / probe_min, 2) for t in probes}
+
+        def window_factor(tag: str) -> float:
+            i = probe_order.index(tag)
+            prev = probe_order[i - 1] if i > 0 else tag
+            return max(factor[tag], factor[prev])
+
+        noise = {
+            "probe_sec": probes,
+            "probe_min": probe_min,
+            "window_factor": {t: window_factor(t) for t in probe_order},
+            "noisy_rows": sorted(
+                n for n, w in row_window.items() if window_factor(w) > 2.0
+            ),
+        }
 
         out = {
             "metric": "change_apply_events_per_sec",
@@ -194,6 +262,7 @@ def main() -> int:
             "epochs": len(results),
             "cores": cpus,
             "final_rows": table.read().count(),
+            "noise": noise,
         }
         print(json.dumps(out), flush=True)
         return 0
