@@ -92,3 +92,56 @@ def test_silver_chain_is_one_pure_projection(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan, "silver transform must not shuffle"
+
+
+def test_chained_epoch_delta_is_shuffle_free(spark):
+    """A chained model's input — the parent's epoch_delta — must add NO
+    exchange on top of the staged-delta scan: transformed upserts
+    unioned with key-only delete rows is projection + union, so the
+    whole chain stays one WholeStageCodegen pass per branch and the
+    only shuffles in chained maintenance remain the merges themselves."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_warehouse_agnostic_spark.lake.table import LakeTable
+    from etl_warehouse_agnostic_spark.silver import SilverModel
+
+    silver_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text_len", T.IntegerType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, os.path.join("/tmp", f"lint-silver-{os.getpid()}"), silver_schema,
+        ["conv_id", "turn_idx"], num_buckets=2,
+    )
+    try:
+        model = SilverModel(
+            t,
+            lambda ups, e: ups.select(
+                "conv_id", "turn_idx", F.length("text").cast("int").alias("text_len")
+            ),
+        )
+        staged_path = os.path.join("/tmp", f"lint-staged-{os.getpid()}")
+        spark.createDataFrame(
+            [("A", 0, "user", "hello", None, "U", 1),
+             ("B", 1, None, None, None, "D", 2)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "ts timestamp, op string, lsn long",
+        ).write.mode("overwrite").parquet(staged_path)
+        staged = spark.read.parquet(staged_path)
+        plan = (
+            model.epoch_delta(staged, 7)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, "chained delta must not shuffle"
+        assert "BatchEvalPython" not in plan
+    finally:
+        import shutil
+
+        shutil.rmtree(t.path, ignore_errors=True)
+        shutil.rmtree(os.path.join("/tmp", f"lint-staged-{os.getpid()}"), ignore_errors=True)
