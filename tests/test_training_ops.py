@@ -224,3 +224,42 @@ def test_blocked_near_pairs_cell_size_guard_on_skewed_corpus(spark):
     assert blocked <= exact
     recall = len(planted & blocked) / len(planted)
     assert recall >= 0.8, f"planted recall {recall} under guard"
+
+
+def test_decode_dimensions_with_pil(spark, docs):
+    """REAL image decode when the optional imaging lib exists (skipped
+    where it doesn't): a generated PNG round-trips through the Arrow
+    decode path with correct dimensions; a poison payload yields an
+    ok=False row, never a failed batch."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    def png_bytes(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (1, 2, 3)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, png_bytes(13, 7)), (2, png_bytes(3, 21)), (3, b"not-an-image")],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in multimodal.decode_dimensions(media).collect()}
+    assert (rows[1].ok, rows[1].width, rows[1].height) == (True, 13, 7)
+    assert (rows[2].width, rows[2].height) == (3, 21)
+    assert rows[3].ok is False and rows[3].width is None
+
+
+def test_decode_dimensions_without_pil_raises_stub(spark):
+    """Where the imaging lib is absent the decode path must fail with
+    the DECLARED stub error (not a confusing ImportError mid-batch)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed — covered by the real-decode test")
+    except ImportError:
+        pass
+    media = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    with pytest.raises(Exception, match="PIL/libvips"):
+        multimodal.decode_dimensions(media).collect()
