@@ -34,6 +34,8 @@ import shutil
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def run_soak(
     spark,
@@ -45,6 +47,7 @@ def run_soak(
     processing_time: str = "2 seconds",
     n_convs: int = 2_000,
     seed: int = 55,
+    with_models: bool = False,
 ) -> dict:
     import duckdb
 
@@ -65,7 +68,56 @@ def run_soak(
         num_buckets=16,
     )
     store = ManifestStore(os.path.join(workdir, "ck"))
-    eng = CdcEngine(spark, table, store, num_salts=8)
+
+    # Optional chained model DAG riding the same continuous loop: the
+    # r6 silver hook runs inside apply_epoch, so every micro-batch
+    # maintains silver AND the chained gold before its epoch finalizes.
+    models = []
+    if with_models:
+        from pyspark.sql import types as T
+
+        from etl_warehouse_agnostic_spark.silver import AggregateModel, SilverModel
+
+        silver_schema = T.StructType([
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role_u", T.StringType(), True),
+            T.StructField("text_len", T.IntegerType(), True),
+            T.StructField("_ingest_epoch", T.IntegerType(), True),
+        ])
+        gold_schema = T.StructType([
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turns", T.LongType(), True),
+            T.StructField("chars", T.LongType(), True),
+        ])
+        silver_t = LakeTable.create(
+            spark, os.path.join(workdir, "silver"), silver_schema, KEY_COLS,
+            num_buckets=16)
+        gold_t = LakeTable.create(
+            spark, os.path.join(workdir, "gold"), gold_schema, ["conv_id"],
+            num_buckets=16)
+
+        def _silver_transform(upserts, epoch):
+            return upserts.select(
+                "conv_id", "turn_idx",
+                F.upper("role").alias("role_u"),
+                F.length("text").alias("text_len"),
+                F.lit(epoch).cast("int").alias("_ingest_epoch"),
+            )
+
+        def _gold_agg(rows):
+            return rows.groupBy("conv_id").agg(
+                F.count(F.lit(1)).alias("turns"),
+                F.sum("text_len").cast("long").alias("chars"),
+            )
+
+        silver_m = SilverModel(silver_t, _silver_transform, name="turns_silver")
+        gold_m = AggregateModel(
+            gold_t, None, ["conv_id"], _gold_agg,
+            name="gold_from_silver", parent=silver_m)
+        models = [silver_m, gold_m]
+
+    eng = CdcEngine(spark, table, store, num_salts=8, silver_models=models)
 
     # Pre-generate the whole soak's stream once (deterministic), then
     # feed it file-by-file in lsn order — an appended change log.
@@ -154,8 +206,48 @@ def run_soak(
     def pct(p):
         return walls_s[min(len(walls_s) - 1, int(p * len(walls_s)))] if walls_s else 0
 
+    model_checks = {}
+    if with_models:
+        # q.stop() can land between a bronze finalize and that epoch's
+        # model apply — the documented kill window. The contract is
+        # recover-on-restart from the retained staged delta; exercise
+        # it rather than racing the stop.
+        eng.recover()
+        silver_t, gold_t = models[0].table, models[1].table
+        # silver must be the transform of the final bronze state
+        # (bronze itself is checked against the batch LWW truth below);
+        # _ingest_epoch is excluded — which epoch last wrote a row
+        # depends on micro-batch boundaries, not on the data.
+        silver_got = sorted(
+            tuple(r) for r in silver_t.read()
+            .select("conv_id", "turn_idx", "role_u", "text_len").collect()
+        )
+        silver_want = sorted(
+            tuple(r) for r in table.read().select(
+                "conv_id", "turn_idx",
+                F.upper("role").alias("role_u"),
+                F.length("text").alias("text_len")).collect()
+        )
+        # chained gold must be the rollup of the silver it fed on
+        gold_got = sorted(tuple(r) for r in gold_t.read().collect())
+        gold_want = sorted(
+            tuple(r) for r in silver_t.read().groupBy("conv_id").agg(
+                F.count(F.lit(1)).alias("turns"),
+                F.sum("text_len").cast("long").alias("chars")).collect()
+        )
+        model_checks = {
+            "models_attached": [m.name for m in models],
+            "silver_matches_bronze_transform": silver_got == silver_want,
+            "gold_matches_silver_rollup": gold_got == gold_want,
+            "model_epochs_in_sync": (
+                silver_t.committed_epochs() == table.committed_epochs()
+                and gold_t.committed_epochs() == table.committed_epochs()
+            ),
+        }
+
     return {
         "soak_minutes": minutes,
+        **model_checks,
         "files_fed": fed,
         "events_applied": hi_water,
         "epochs": len(epochs),
@@ -175,6 +267,9 @@ def main() -> int:
     ap.add_argument("--events-per-file", type=int, default=20_000)
     ap.add_argument("--feed-interval", type=float, default=5.0)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    ap.add_argument("--with-models", action="store_true",
+                    help="attach the chained silver->gold model DAG to the "
+                         "continuous loop and verify both at stop")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
@@ -187,12 +282,18 @@ def main() -> int:
         out = run_soak(
             spark, workdir, minutes=args.minutes,
             events_per_file=args.events_per_file, feed_interval=args.feed_interval,
+            with_models=args.with_models,
         )
         print(json.dumps(out), flush=True)
         ok = (
             out["epoch_chain_contiguous"]
             and out["lsn_ranges_gap_free"]
             and out["final_state_matches_batch_lww"]
+            and (not args.with_models or (
+                out["silver_matches_bronze_transform"]
+                and out["gold_matches_silver_rollup"]
+                and out["model_epochs_in_sync"]
+            ))
         )
         return 0 if ok else 1
     finally:
