@@ -1073,18 +1073,30 @@ def q_silver_incremental(spark, sf_dir):
       per-epoch output delta, recomputed lazily from the one bronze
       staged delta, and its recompute reads the SILVER table
       bucket-pruned;
+    - 'gold_delta' rows: ``DeltaAggregateModel`` — a day rollup over
+      the MUTABLE ``ts`` maintained by pure delta arithmetic
+      (new = old + agg(upserts) − agg(pre-epoch rows of the delta's
+      keys)), never a group recompute: O(delta) per cycle independent
+      of group size, with exact NULL-sum semantics via the hidden
+      non-null counters (the ClickHouse SummingMergeTree / incremental
+      view maintenance shape);
     across ≥3 epochs plus a replay that must be a version-stable no-op
-    on every table. The oracle recomputes ALL THREE models from scratch
-    in SQL (the chained rollup from the recomputed silver state), so
-    the driver hash proves incremental maintenance == full rebuild for
-    the row-wise, the aggregate, AND the chained (model-of-model)
-    case."""
+    on every table. The oracle recomputes ALL FOUR models from scratch
+    in SQL (the chained rollup from the recomputed silver state, the
+    day rollup straight off the LWW winners), so the driver hash proves
+    incremental maintenance == full rebuild for the row-wise, the
+    recompute-aggregate, the chained (model-of-model), AND the
+    delta-arithmetic case — cross-day moves and deletes included."""
     from pyspark.sql import types as T
 
     from etl_warehouse_agnostic_spark.engine import CdcEngine
     from etl_warehouse_agnostic_spark.lake.manifest import ManifestStore
     from etl_warehouse_agnostic_spark.lake.table import LakeTable
-    from etl_warehouse_agnostic_spark.silver import AggregateModel, SilverModel
+    from etl_warehouse_agnostic_spark.silver import (
+        AggregateModel,
+        DeltaAggregateModel,
+        SilverModel,
+    )
     from etl_warehouse_agnostic_spark.sources.changes import ChangeStreamSource
 
     chg = _changes(spark, sf_dir).localCheckpoint()
@@ -1125,6 +1137,17 @@ def q_silver_incremental(spark, sf_dir):
     silver_schema = transform(spark.createDataFrame([], staged_shape), 0).schema
     gold_schema = rollup(spark.createDataFrame([], bronze_schema)).schema
     gold2_schema = rollup2(spark.createDataFrame([], silver_schema)).schema
+    gold3_schema = T.StructType(
+        [
+            T.StructField("day", T.StringType(), False),
+            T.StructField("d_n", T.LongType(), True),
+            T.StructField("d_chars", T.LongType(), True),
+            T.StructField("_nn_d_chars", T.LongType(), True),
+        ]
+    )
+
+    def day_groups(rows):
+        return rows.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
 
     root = tempfile.mkdtemp(prefix="etlwa-silver-")
     try:
@@ -1140,6 +1163,9 @@ def q_silver_incremental(spark, sf_dir):
         gold2 = LakeTable.create(
             spark, os.path.join(root, "gold2"), gold2_schema, ["conv_id"], num_buckets=8
         )
+        gold3 = LakeTable.create(
+            spark, os.path.join(root, "gold3"), gold3_schema, ["day"], num_buckets=8
+        )
         silver_model = SilverModel(silver, transform, name="turns_silver")
         models = [
             silver_model,
@@ -1147,6 +1173,10 @@ def q_silver_incremental(spark, sf_dir):
             AggregateModel(
                 gold2, None, ["conv_id"], rollup2,
                 name="conv_rollup_from_silver", parent=silver_model,
+            ),
+            DeltaAggregateModel(
+                gold3, bronze, ["day"], {"d_chars": F.length("text")},
+                count_col="d_n", name="day_rollup_delta", row_groups=day_groups,
             ),
         ]
         ck = ManifestStore(os.path.join(root, "ck"))
@@ -1156,13 +1186,16 @@ def q_silver_incremental(spark, sf_dir):
         assert len(results) >= 3, "need ≥3 epochs of genuine incremental maintenance"
         assert (
             silver.committed_epochs() == gold.committed_epochs()
-            == gold2.committed_epochs() == bronze.committed_epochs()
+            == gold2.committed_epochs() == gold3.committed_epochs()
+            == bronze.committed_epochs()
         )
-        vs, vg, v2 = silver.latest_version(), gold.latest_version(), gold2.latest_version()
+        versions = lambda: (  # noqa: E731
+            silver.latest_version(), gold.latest_version(),
+            gold2.latest_version(), gold3.latest_version(),
+        )
+        v0 = versions()
         assert eng.run(src, epoch_size=_SILVER_EPOCH_SIZE) == []  # replay no-op
-        assert (
-            silver.latest_version(), gold.latest_version(), gold2.latest_version()
-        ) == (vs, vg, v2)
+        assert versions() == v0
 
         gold_nulls = [
             F.lit(None).cast("long").alias("n_turns"),
@@ -1174,13 +1207,19 @@ def q_silver_incremental(spark, sf_dir):
             F.lit(None).cast("long").alias("sum_text_len"),
             F.lit(None).cast("int").alias("last_cycle"),
         ]
+        gold3_nulls = [
+            F.lit(None).cast("string").alias("day"),
+            F.lit(None).cast("long").alias("d_n"),
+            F.lit(None).cast("long").alias("d_chars"),
+            F.lit(None).cast("long").alias("d_nn"),
+        ]
         silver_nulls = [
             F.lit(None).cast(f.dataType).alias(f.name)
             for f in silver_schema.fields
             if f.name != "conv_id"
         ]
         s = silver.read().select(
-            F.lit("silver").alias("part"), "*", *gold_nulls, *gold2_nulls
+            F.lit("silver").alias("part"), "*", *gold_nulls, *gold2_nulls, *gold3_nulls
         )
         g = gold.read().select(
             F.lit("gold").alias("part"),
@@ -1190,6 +1229,7 @@ def q_silver_incremental(spark, sf_dir):
             F.col("last_turn").cast("int"),
             F.col("text_chars").cast("long"),
             *gold2_nulls,
+            *gold3_nulls,
         )
         g2 = gold2.read().select(
             F.lit("gold_from_silver").alias("part"),
@@ -1199,8 +1239,20 @@ def q_silver_incremental(spark, sf_dir):
             F.col("n_msgs").cast("long"),
             F.col("sum_text_len").cast("long"),
             F.col("last_cycle").cast("int"),
+            *gold3_nulls,
         )
-        return s.unionByName(g).unionByName(g2).localCheckpoint()
+        g3 = gold3.read().select(
+            F.lit("gold_delta").alias("part"),
+            F.lit(None).cast("string").alias("conv_id"),
+            *silver_nulls,
+            *gold_nulls,
+            *gold2_nulls,
+            F.col("day"),
+            F.col("d_n").cast("long"),
+            F.col("d_chars").cast("long"),
+            F.col("_nn_d_chars").cast("long").alias("d_nn"),
+        )
+        return s.unionByName(g).unionByName(g2).unionByName(g3).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1959,7 +2011,11 @@ ORACLES: dict[str, str] = {
                CAST(NULL AS BIGINT) AS text_chars,
                CAST(NULL AS BIGINT) AS n_msgs,
                CAST(NULL AS BIGINT) AS sum_text_len,
-               CAST(NULL AS INT) AS last_cycle
+               CAST(NULL AS INT) AS last_cycle,
+               CAST(NULL AS VARCHAR) AS day,
+               CAST(NULL AS BIGINT) AS d_n,
+               CAST(NULL AS BIGINT) AS d_chars,
+               CAST(NULL AS BIGINT) AS d_nn
         FROM sil
         UNION ALL
         -- gold section: the per-conversation rollup recomputed from
@@ -1979,7 +2035,8 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_turns,
                CAST(max(turn_idx) AS INT) AS last_turn,
                CAST(sum(length(text)) AS BIGINT) AS text_chars,
-               NULL AS n_msgs, NULL AS sum_text_len, NULL AS last_cycle
+               NULL AS n_msgs, NULL AS sum_text_len, NULL AS last_cycle,
+               NULL AS day, NULL AS d_n, NULL AS d_chars, NULL AS d_nn
         FROM cur GROUP BY conv_id
         UNION ALL
         -- chained gold-from-silver: the second-level model rebuilt
@@ -2001,8 +2058,32 @@ ORACLES: dict[str, str] = {
                NULL AS n_turns, NULL AS last_turn, NULL AS text_chars,
                CAST(count(*) AS BIGINT) AS n_msgs,
                CAST(sum(text_len) AS BIGINT) AS sum_text_len,
-               CAST(max(_ingest_epoch) AS INT) AS last_cycle
+               CAST(max(_ingest_epoch) AS INT) AS last_cycle,
+               NULL AS day, NULL AS d_n, NULL AS d_chars, NULL AS d_nn
         FROM sil GROUP BY conv_id
+        UNION ALL
+        -- delta-maintained day rollup: rebuilt from scratch over the
+        -- final LWW state — the DeltaAggregateModel's pure delta
+        -- arithmetic (old + upserts − pre-epoch rows, NULL-sum exact
+        -- via the non-null counter) must converge to exactly this
+        SELECT 'gold_delta' AS part, NULL AS conv_id,
+               NULL AS turn_idx, NULL AS role_trim, NULL AS role_u,
+               NULL AS role_l, NULL AS k_clean, NULL AS role_or_unknown,
+               NULL AS phase, NULL AS has_ick, NULL AS has_view,
+               NULL AS has_nine, NULL AS k_dec, NULL AS ts_be,
+               NULL AS ts_ms, NULL AS conv_prefix, NULL AS conv_num,
+               NULL AS conv_digits, NULL AS turn_key, NULL AS text_len,
+               NULL AS yyyymm, NULL AS y, NULL AS q, NULL AS even_flag,
+               NULL AS role_nz, NULL AS record_hash, NULL AS lsn_k,
+               NULL AS turn_floor, NULL AS _source_system,
+               NULL AS _endpoint, NULL AS _ingest_epoch,
+               NULL AS n_turns, NULL AS last_turn, NULL AS text_chars,
+               NULL AS n_msgs, NULL AS sum_text_len, NULL AS last_cycle,
+               strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS d_n,
+               CAST(sum(length(text)) AS BIGINT) AS d_chars,
+               CAST(count(text) AS BIGINT) AS d_nn
+        FROM cur GROUP BY strftime(ts, '%Y-%m-%d')
     """,
     "time_partition_scan": f"""
         SELECT CAST(ts AS DATE) AS day, op, count(*) AS n, max(lsn) AS max_lsn

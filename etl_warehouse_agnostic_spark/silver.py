@@ -333,6 +333,248 @@ class AggregateModel:
         return self.table.merge(out, delete_keys=gone, epoch_id=epoch)
 
 
+class DeltaAggregateModel:
+    """Delta-MAINTAINED aggregate table (classic incremental view
+    maintenance) for SUBTRACTABLE measures: a row count plus any number
+    of SUMs (avg/rate derive from those downstream). The dbt-style
+    rollup shape is the same as :class:`AggregateModel`; the
+    maintenance strategy is pure delta arithmetic — never a group
+    recompute::
+
+        new(g) = old(g) + agg(epoch's net upserts in g)
+                        - agg(pre-epoch rows of the epoch's keys in g)
+
+    Scale (100 TB): cost per cycle is O(delta + the delta's source
+    buckets (one pruned pre-state read) + touched GOLD buckets) —
+    independent of GROUP SIZE. ``AggregateModel``'s affected-group
+    recompute rescans every row of every touched group; for day-level
+    rollups over a 100-TB table (millions of rows per group) a
+    single-row update there costs a full-day rescan, here two
+    bucket-pruned point lookups. The dense worst case (every epoch
+    touches every group) drops from O(table) to O(delta).
+
+    Trade-offs vs :class:`AggregateModel` (both kept; pick per measure
+    set):
+
+    - only count/sum — measures with an inverse. min/max/count-distinct
+      are not subtractable (a delete may retire the current extremum);
+      use the recompute model for those.
+    - floating-point sums drift from a from-scratch rebuild by FP
+      non-associativity; use integer/decimal measures where exact-hash
+      equality against a rebuild matters (the driver oracle row uses
+      longs). Documented, not guarded — parity with how every SQL
+      engine treats incremental float aggregation.
+    - requires the pre-epoch snapshot (versioned lake source), the same
+      requirement non-key-grouped recompute already has.
+
+    NULL-exactness: SQL ``SUM`` over a group whose every contribution
+    is NULL is NULL, and a rebuild would say so — a running 0 would
+    diverge. Each sum column therefore rides with a ``_nn_<col>``
+    non-null-contribution count in the gold table; the visible column
+    is NULL iff that count is 0, and the running total stays
+    recoverable as ``coalesce(col, 0)`` because nn==0 implies the
+    total is exactly 0.
+
+    Exactly-once/crash contract: identical to the other models — the
+    MERGE carries the bronze epoch id and replays skip before any
+    mutation; the delta arithmetic is a deterministic function of the
+    staged delta and the PINNED pre-epoch snapshot
+    (``epoch_snapshot(epoch)['parent']``), so a crash-replay computes
+    bit-identical updates. Reference analog: the incremental-aggregate
+    dbt models the reference runs per cycle
+    (dbt/models/curated/repsly/client_notes.sql — ClickHouse
+    SummingMergeTree-style rollups), which also fold deltas instead of
+    recomputing groups.
+    """
+
+    def __init__(
+        self,
+        table: LakeTable,
+        bronze: "LakeTable | None",
+        group_cols: list[str],
+        sums: dict,
+        count_col: str = "n_rows",
+        name: str = "gold_delta",
+        parent: "SilverModel | None" = None,
+        row_groups: Callable[[DataFrame], DataFrame] | None = None,
+    ):
+        from pyspark.sql import Column, functions as F
+
+        if parent is not None:
+            if not isinstance(parent, SilverModel):
+                raise ValueError(
+                    f"gold model {name!r}: parent must be a SilverModel; "
+                    f"got {type(parent).__name__}"
+                )
+            if bronze is None:
+                bronze = parent.table
+            elif bronze is not parent.table:
+                raise ValueError(
+                    f"gold model {name!r}: chained aggregate must read its "
+                    "parent's table"
+                )
+        if bronze is None:
+            raise ValueError(f"gold model {name!r}: needs a source table or a parent")
+        for attr in ("epoch_snapshot", "read", "num_buckets", "key_cols"):
+            if not hasattr(bronze, attr):
+                raise ValueError(
+                    f"gold model {name!r}: delta maintenance subtracts the "
+                    "pre-epoch values of changed keys, which needs a versioned "
+                    f"bucketed lake source — this source lacks {attr!r} (e.g. a "
+                    "warehouse backend); use AggregateModel's recompute there"
+                )
+        if list(table.key_cols) != list(group_cols):
+            raise ValueError(
+                f"gold table keys {table.key_cols} must equal group_cols {group_cols}"
+            )
+        table_cols = {f.name for f in table.schema.fields}
+        need = [count_col] + [c for s in sums for c in (s, f"_nn_{s}")]
+        missing = [c for c in need if c not in table_cols]
+        if missing:
+            raise ValueError(
+                f"gold model {name!r}: table schema is missing maintained "
+                f"column(s) {missing} — build it from aggregate(empty_df).schema"
+            )
+        self.table = table
+        self.bronze = bronze
+        self.group_cols = list(group_cols)
+        self.sums = {
+            out: (F.col(expr) if isinstance(expr, str) else expr)
+            for out, expr in sums.items()
+        }
+        for out, expr in self.sums.items():
+            if not isinstance(expr, Column):
+                raise ValueError(
+                    f"gold model {name!r}: sums[{out!r}] must be a column name "
+                    f"or a pyspark Column; got {type(expr).__name__}"
+                )
+        self.count_col = count_col
+        self.name = name
+        self.parent = parent
+        self.row_groups = row_groups or (lambda df: df)
+        self.last_scan: dict | None = None  # {mode, src_buckets, gold_buckets}
+
+    def epoch_committed(self, epoch: int) -> bool:
+        return self.table.epoch_committed(epoch)
+
+    def last_epoch(self) -> int:
+        es = self.table.committed_epochs()
+        return max(es) if es else 0
+
+    def aggregate(self, rows: DataFrame) -> DataFrame:
+        """The full-rebuild equivalent of the maintained table (used by
+        ``bootstrap`` and by equivalence tests): count + sums + the
+        hidden per-sum non-null counts, grouped by ``group_cols``."""
+        from pyspark.sql import functions as F
+
+        aggs = [F.count(F.lit(1)).cast("long").alias(self.count_col)]
+        for out, expr in self.sums.items():
+            aggs.append(F.sum(expr).alias(out))
+            aggs.append(F.count(expr).cast("long").alias(f"_nn_{out}"))
+        return self.row_groups(rows).groupBy(*self.group_cols).agg(*aggs)
+
+    def bootstrap(self, epoch_id: int) -> MergeResult:
+        """Full-refresh bootstrap (attach to an already-populated
+        source): aggregate the CURRENT source state and overwrite,
+        stamped so maintenance resumes from the next cycle."""
+        return self.table.overwrite(
+            self.aggregate(self.bronze.read()), epoch_id=epoch_id
+        )
+
+    def _delta_buckets(self, staged: DataFrame) -> list[int]:
+        from pyspark.sql import functions as F
+
+        from etl_warehouse_agnostic_spark.functions.scalars import bucket_of
+
+        b = (
+            F.col("_bucket")
+            if "_bucket" in staged.columns
+            else bucket_of(self.bronze.key_cols[0], self.bronze.num_buckets)
+        )
+        return sorted(r[0] for r in staged.select(b.alias("_b")).distinct().collect())
+
+    def apply_epoch(self, staged: DataFrame, epoch: int) -> MergeResult:
+        from pyspark.sql import functions as F
+
+        from etl_warehouse_agnostic_spark.functions.scalars import bucket_of
+
+        if self.table.epoch_committed(epoch):
+            return MergeResult(0, epoch, 0, 0, 0, skipped=True)
+        snap = self.bronze.epoch_snapshot(epoch)
+        if snap is None:
+            raise RuntimeError(
+                f"gold model {self.name!r}: source has no snapshot for epoch "
+                f"{epoch} — models must apply after their source commits it"
+            )
+        keys = list(self.bronze.key_cols)
+        upserts, _ = split_ops(staged)
+        delta_keys = staged.select(*keys).dropDuplicates(keys)
+        src_buckets = self._delta_buckets(staged)
+        # pre-epoch values of exactly the changed keys (pinned snapshot,
+        # bucket-pruned) — the subtract side of the maintenance identity
+        old_rows = self.bronze.read(version=snap["parent"], buckets=src_buckets).join(
+            delta_keys, keys, "left_semi"
+        )
+        pos = self.aggregate(upserts).withColumn("_sign", F.lit(1))
+        neg = self.aggregate(old_rows).withColumn("_sign", F.lit(-1))
+        d_aggs = [
+            F.sum(F.col(self.count_col) * F.col("_sign")).cast("long").alias(self.count_col)
+        ]
+        for out in self.sums:
+            d_aggs.append(
+                F.sum(F.coalesce(F.col(out), F.lit(0)) * F.col("_sign")).alias(out)
+            )
+            d_aggs.append(
+                F.sum(F.col(f"_nn_{out}") * F.col("_sign")).cast("long").alias(f"_nn_{out}")
+            )
+        # one row per touched group, tiny — checkpoint so the census
+        # collect and the two joins below don't recompute the plan
+        d = (
+            pos.unionByName(neg)
+            .groupBy(*self.group_cols)
+            .agg(*d_aggs)
+            .localCheckpoint()
+        )
+        gold_buckets = sorted(
+            r[0]
+            for r in d.select(
+                bucket_of(self.group_cols[0], self.table.num_buckets).alias("_b")
+            )
+            .distinct()
+            .collect()
+        )
+        self.last_scan = {
+            "mode": "delta",
+            "src_buckets": src_buckets,
+            "gold_buckets": gold_buckets,
+        }
+        old = self.table.read(buckets=gold_buckets).join(
+            d.select(*self.group_cols), self.group_cols, "left_semi"
+        )
+        # every touched group is in d; old ⊆ d's groups, so a left join
+        # covers both brand-new groups (old side NULL) and updates
+        j = d.alias("d").join(old.alias("o"), self.group_cols, "left")
+        types = {f.name: f.dataType for f in self.table.schema.fields}
+        new_n = (
+            F.coalesce(F.col(f"o.{self.count_col}"), F.lit(0))
+            + F.col(f"d.{self.count_col}")
+        ).cast(types[self.count_col])
+        cols = [F.col(c) for c in self.group_cols] + [new_n.alias(self.count_col)]
+        for out in self.sums:
+            nn = (
+                F.coalesce(F.col(f"o._nn_{out}"), F.lit(0)) + F.col(f"d._nn_{out}")
+            ).cast(types[f"_nn_{out}"])
+            total = F.coalesce(F.col(f"o.{out}"), F.lit(0)) + F.col(f"d.{out}")
+            cols.append(
+                F.when(nn > 0, total).otherwise(F.lit(None)).cast(types[out]).alias(out)
+            )
+            cols.append(nn.alias(f"_nn_{out}"))
+        new = j.select(*cols).localCheckpoint()
+        out_rows = new.where(F.col(self.count_col) > 0)
+        gone = new.where(F.col(self.count_col) <= 0).select(*self.group_cols)
+        return self.table.merge(out_rows, delete_keys=gone, epoch_id=epoch)
+
+
 class SilverModel:
     """One incrementally-maintained curated table.
 
