@@ -76,7 +76,11 @@ def run_soak(
     if with_models:
         from pyspark.sql import types as T
 
-        from etl_warehouse_agnostic_spark.silver import AggregateModel, SilverModel
+        from etl_warehouse_agnostic_spark.silver import (
+            AggregateModel,
+            DeltaAggregateModel,
+            SilverModel,
+        )
 
         silver_schema = T.StructType([
             T.StructField("conv_id", T.StringType(), False),
@@ -115,7 +119,26 @@ def run_soak(
         gold_m = AggregateModel(
             gold_t, None, ["conv_id"], _gold_agg,
             name="gold_from_silver", parent=silver_m)
-        models = [silver_m, gold_m]
+        # third strategy under continuous load: delta-arithmetic day
+        # rollup straight off bronze (cross-day moves + deletes every
+        # micro-batch; must converge to a from-scratch rebuild at stop)
+        day_schema = T.StructType([
+            T.StructField("day", T.StringType(), False),
+            T.StructField("rows", T.LongType(), True),
+            T.StructField("chars", T.LongType(), True),
+            T.StructField("_nn_chars", T.LongType(), True),
+        ])
+        day_t = LakeTable.create(
+            spark, os.path.join(workdir, "gold_delta"), day_schema, ["day"],
+            num_buckets=16)
+
+        def _day_groups(rows):
+            return rows.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+
+        day_m = DeltaAggregateModel(
+            day_t, table, ["day"], {"chars": F.length("text")},
+            count_col="rows", name="day_rollup_delta", row_groups=_day_groups)
+        models = [silver_m, gold_m, day_m]
 
     eng = CdcEngine(spark, table, store, num_salts=8, silver_models=models)
 
@@ -235,13 +258,28 @@ def run_soak(
                 F.count(F.lit(1)).alias("turns"),
                 F.sum("text_len").cast("long").alias("chars")).collect()
         )
+        # delta-maintained day rollup must equal a from-scratch rebuild
+        # over the final bronze state (integer measures — exact)
+        day_t = models[2].table
+        delta_got = sorted(
+            tuple(r) for r in day_t.read()
+            .select("day", "rows", "chars").collect()
+        )
+        delta_want = sorted(
+            tuple(r) for r in table.read()
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+                F.count(F.lit(1)).cast("long").alias("rows"),
+                F.sum(F.length("text")).cast("long").alias("chars")).collect()
+        )
         model_checks = {
             "models_attached": [m.name for m in models],
             "silver_matches_bronze_transform": silver_got == silver_want,
             "gold_matches_silver_rollup": gold_got == gold_want,
+            "delta_gold_matches_rebuild": delta_got == delta_want,
             "model_epochs_in_sync": (
                 silver_t.committed_epochs() == table.committed_epochs()
                 and gold_t.committed_epochs() == table.committed_epochs()
+                and day_t.committed_epochs() == table.committed_epochs()
             ),
         }
 
@@ -268,8 +306,9 @@ def main() -> int:
     ap.add_argument("--feed-interval", type=float, default=5.0)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     ap.add_argument("--with-models", action="store_true",
-                    help="attach the chained silver->gold model DAG to the "
-                         "continuous loop and verify both at stop")
+                    help="attach the model DAG (silver -> chained gold "
+                         "recompute + delta-arithmetic day rollup) to the "
+                         "continuous loop and verify all three at stop")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
@@ -292,6 +331,7 @@ def main() -> int:
             and (not args.with_models or (
                 out["silver_matches_bronze_transform"]
                 and out["gold_matches_silver_rollup"]
+                and out["delta_gold_matches_rebuild"]
                 and out["model_epochs_in_sync"]
             ))
         )
