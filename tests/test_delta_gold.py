@@ -155,6 +155,41 @@ def test_delta_gold_null_group_returns_to_null_after_delete(spark, tmpdir_path):
     ]
 
 
+def test_delta_gold_sparse_epoch_scans_are_bucket_pruned(spark, tmpdir_path):
+    """The scale claim: a localized delta's maintenance reads only the
+    delta's source buckets (pinned pre-epoch snapshot) and touched gold
+    buckets — never the whole table on either side. A dense epoch 1
+    builds the table; a one-conv epoch 2 must record a strict bucket
+    subset in last_scan, and that pruned read must open strictly fewer
+    bronze files than a full scan."""
+    chg = generate_changes(spark, 2000, n_convs=60, turns_per_conv=8, seed=45).localCheckpoint()
+    one_conv = chg.select("conv_id").where(F.col("op") == "I").first()[0]
+    max_lsn = chg.agg(F.max("lsn")).first()[0]
+    tail = (
+        chg.where(F.col("conv_id") == one_conv)
+        .withColumn("lsn", F.col("lsn") + F.lit(max_lsn))
+        .localCheckpoint()
+    )
+    bronze, gold_t, gold, eng = _mk(
+        spark, tmpdir_path, ["conv_id"], CONV_GOLD_SCHEMA, {"chars": F.length("text")}
+    )
+    eng.run(ChangeStreamSource(spark, df=chg), epoch_size=2000)
+    eng.run(ChangeStreamSource(spark, df=chg.unionByName(tail)), epoch_size=max_lsn * 2)
+
+    scan = gold.last_scan
+    assert scan is not None and scan["mode"] == "delta"
+    # one conv hashes to one bucket on each side; 4 buckets exist
+    assert len(scan["src_buckets"]) == 1 and len(scan["gold_buckets"]) == 1
+    # the pre-epoch subtract read opens strictly fewer files than full
+    snap = bronze.epoch_snapshot(gold_t.committed_epochs()[-1])
+    pruned = set(bronze.read(version=snap["parent"], buckets=scan["src_buckets"]).inputFiles())
+    full = set(bronze.read(version=snap["parent"]).inputFiles())
+    assert pruned and pruned < full
+    # and the maintained table still equals a from-scratch rebuild
+    want = sorted(tuple(r) for r in gold.aggregate(bronze.read()).collect())
+    assert _rows(gold_t) == want
+
+
 def test_delta_gold_crash_recovery_exactly_once(spark, tmpdir_path):
     """Crash between bronze finalize and the delta-gold apply: staging
     retained, recovery replays the SAME delta arithmetic from the
