@@ -44,6 +44,12 @@ def main() -> int:
     ap.add_argument("--shuffle-partitions", type=int)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--keep-workdir", action="store_true")
+    ap.add_argument(
+        "--with-models", action="store_true",
+        help="attach the standard 3-model curated DAG (silver transform "
+             "-> chained per-conv gold recompute + delta-arithmetic day "
+             "rollup) so the timed loop includes incremental model "
+             "maintenance — the medallion-deployment shape")
     args = ap.parse_args()
 
     from pyspark.sql import types as T
@@ -83,10 +89,78 @@ def main() -> int:
             spark, table_dir, TRANSCRIPTS_SCHEMA_V2, KEY_COLS, num_buckets=args.buckets,
             partition_spec={"col": "ts", "transform": "day"} if args.partition_by_day else None,
         )
+        models = []
+        if args.with_models:
+            from pyspark.sql import functions as F
+
+            from etl_warehouse_agnostic_spark.silver import (
+                AggregateModel,
+                DeltaAggregateModel,
+                SilverModel,
+            )
+
+            silver_schema = T.StructType([
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("turn_idx", T.IntegerType(), False),
+                T.StructField("role_u", T.StringType(), True),
+                T.StructField("text_len", T.IntegerType(), True),
+                T.StructField("_ingest_epoch", T.IntegerType(), True),
+            ])
+            gold_schema = T.StructType([
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("turns", T.LongType(), True),
+                T.StructField("chars", T.LongType(), True),
+            ])
+            day_schema = T.StructType([
+                T.StructField("day", T.StringType(), False),
+                T.StructField("rows", T.LongType(), True),
+                T.StructField("chars", T.LongType(), True),
+                T.StructField("_nn_chars", T.LongType(), True),
+            ])
+            model_dirs = [
+                os.path.join(workdir, f"{n}-{args.cores}c")
+                for n in ("silver", "gold", "gold-day")
+            ]
+            for d in model_dirs:  # fresh per run, like table_dir above
+                shutil.rmtree(d, ignore_errors=True)
+            silver_t = LakeTable.create(
+                spark, model_dirs[0], silver_schema, KEY_COLS, num_buckets=args.buckets)
+            gold_t = LakeTable.create(
+                spark, model_dirs[1], gold_schema, ["conv_id"], num_buckets=args.buckets)
+            day_t = LakeTable.create(
+                spark, model_dirs[2], day_schema, ["day"], num_buckets=args.buckets)
+
+            def _transform(upserts, epoch):
+                return upserts.select(
+                    "conv_id", "turn_idx",
+                    F.upper("role").alias("role_u"),
+                    F.length("text").alias("text_len"),
+                    F.lit(epoch).cast("int").alias("_ingest_epoch"),
+                )
+
+            def _gold_agg(rows):
+                return rows.groupBy("conv_id").agg(
+                    F.count(F.lit(1)).alias("turns"),
+                    F.sum("text_len").cast("long").alias("chars"),
+                )
+
+            def _day_groups(rows):
+                return rows.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+
+            silver_m = SilverModel(silver_t, _transform, name="turns_silver")
+            models = [
+                silver_m,
+                AggregateModel(gold_t, None, ["conv_id"], _gold_agg,
+                               name="gold_from_silver", parent=silver_m),
+                DeltaAggregateModel(day_t, table, ["day"],
+                                    {"chars": F.length("text")},
+                                    count_col="rows", name="day_rollup_delta",
+                                    row_groups=_day_groups),
+            ]
         eng = CdcEngine(
             spark, table, ManifestStore(ckpt_dir),
             dedup_method=args.dedup, num_salts=args.num_salts,
-            source_partitions=args.cores,
+            source_partitions=args.cores, silver_models=models,
         )
         src = ChangeStreamSource(spark, path=changes_path)
         max_lsn = src.max_lsn()
@@ -120,6 +194,8 @@ def main() -> int:
             "bytes_written": sum(r.bytes_written for r in results),
             "final_rows": table.read().count(),
         }
+        if models:
+            out["model_rows"] = {m.name: m.table.read().count() for m in models}
         print(json.dumps(out), flush=True)
         return 0
     finally:

@@ -25,7 +25,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(changes: str, cores: int, epochs: int, buckets: int, trials: int, workdir: str) -> dict:
+def run_level(changes: str, cores: int, epochs: int, buckets: int, trials: int,
+              workdir: str, with_models: bool = False) -> dict:
     walls, results = [], []
     for t in range(trials):
         cmd = [
@@ -34,7 +35,7 @@ def run_level(changes: str, cores: int, epochs: int, buckets: int, trials: int, 
             "--shuffle-partitions", str(max(2, cores * 2)),
             "--epochs", str(epochs), "--buckets", str(buckets),
             "--workdir", workdir, "--keep-workdir",
-        ]
+        ] + (["--with-models"] if with_models else [])
         out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
         line = out.stdout.strip().splitlines()[-1]
         r = json.loads(line)
@@ -55,6 +56,9 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--workdir", default="/dev/shm/etlwa-scaling")
+    ap.add_argument("--with-models", action="store_true",
+                    help="scale the MODEL-DAG path: attach the standard "
+                         "3-model curated DAG at both levels")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
 
@@ -73,14 +77,17 @@ def main() -> int:
         ).write.mode("overwrite").parquet(changes)
         spark.stop()
 
-    small = run_level(changes, args.n, args.epochs, args.buckets, args.trials, args.workdir)
-    large = run_level(changes, args.n * 4, args.epochs, args.buckets, args.trials, args.workdir)
+    small = run_level(changes, args.n, args.epochs, args.buckets, args.trials,
+                      args.workdir, with_models=args.with_models)
+    large = run_level(changes, args.n * 4, args.epochs, args.buckets, args.trials,
+                      args.workdir, with_models=args.with_models)
 
     t_n = min(small["trials_wall_sec"])
     t_4n = min(large["trials_wall_sec"])
     eff = (t_n / t_4n) / 4
     doc = {
         "metric": "change_apply_scaling_efficiency",
+        "with_models": args.with_models,
         "n_cores": args.n,
         "4n_cores": args.n * 4,
         "events": args.events,
