@@ -68,6 +68,36 @@ def main() -> int:
         shuffle_partitions=args.shuffle_partitions or args.cores,
     )
 
+    # ---- host-noise anchor (same protocol as bench.py) ----
+    # The sandbox host is bimodal (uniform slow-mode windows up to
+    # ~2.4×, documented since r2).  A fixed CPU-bound probe timed just
+    # before and just after the apply loop tags THIS trial's host
+    # window in its own output, so the scaling harness can tell a
+    # coherent N/4N pairing (both levels in the same mode) from a
+    # polluted one without any cross-run forensics.  probe work scales
+    # with cores (constant per-core work), so the wall is comparable
+    # across cluster sizes and to bench.py's ~0.5 s fast-mode anchor.
+    from pyspark.sql import functions as F
+
+    probe_rows = 6_000_000 * args.cores
+    probes: dict[str, float] = {}
+
+    def _probe_plan(salt: int):
+        return spark.range(salt, salt + probe_rows).select(
+            F.sum(F.xxhash64("id").cast("decimal(38,0)")).alias("h")
+        )
+
+    def probe(tag: str) -> None:
+        best = None
+        for k in (1, 2):
+            t0 = time.monotonic()
+            _probe_plan(2 * len(probes) + k).collect()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        probes[tag] = round(best, 3)
+
+    _probe_plan(0).collect()  # codegen warm-up, unrecorded
+
     workdir = args.workdir or f"/tmp/etlwa-ingest-{os.getpid()}"
     os.makedirs(workdir, exist_ok=True)
     try:
@@ -168,9 +198,11 @@ def main() -> int:
         n_epochs = max(1, args.epochs)
         epoch_size = max(1, (max_lsn + n_epochs - 1) // n_epochs)
 
+        probe("start")
         t0 = time.monotonic()
         results = eng.run(src, epoch_size=epoch_size)
         wall = time.monotonic() - t0
+        probe("end")
 
         epoch_walls = [round(r.wall_ms / 1000, 3) for r in results]
         epoch_rows = [r.rows_read for r in results]
@@ -193,6 +225,7 @@ def main() -> int:
             "rows_deleted": sum(r.rows_deleted for r in results),
             "bytes_written": sum(r.bytes_written for r in results),
             "final_rows": table.read().count(),
+            "probe_sec": probes,
         }
         if models:
             out["model_rows"] = {m.name: m.table.read().count() for m in models}

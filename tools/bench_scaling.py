@@ -85,6 +85,21 @@ def main() -> int:
     t_n = min(small["trials_wall_sec"])
     t_4n = min(large["trials_wall_sec"])
     eff = (t_n / t_4n) / 4
+
+    # Host-window coherence: each trial's run_ingest output carries the
+    # in-JVM CPU probe (constant per-core work, so comparable across
+    # cluster sizes).  A valid N/4N ratio needs both best trials probed
+    # in the same host mode; >1.5x between their probes = polluted pair.
+    def _best_probe(level: dict) -> float | None:
+        ps = level["best"].get("probe_sec") or {}
+        return max(ps.values()) if ps else None
+
+    p_n, p_4n = _best_probe(small), _best_probe(large)
+    noise = {"probe_sec_n": p_n, "probe_sec_4n": p_4n}
+    if p_n and p_4n:
+        ratio = max(p_n, p_4n) / min(p_n, p_4n)
+        noise["pair_probe_ratio"] = round(ratio, 2)
+        noise["pairing_coherent"] = ratio <= 1.5
     doc = {
         "metric": "change_apply_scaling_efficiency",
         "with_models": args.with_models,
@@ -98,6 +113,7 @@ def main() -> int:
         "events_per_sec_4n": round(args.events / t_4n, 1),
         "scaling_efficiency": round(eff, 3),
         "passes_0.8": eff >= 0.8,
+        "noise": noise,
         "levels": [small, large],
     }
     with open(args.out, "w") as f:
