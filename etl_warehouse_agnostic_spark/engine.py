@@ -95,6 +95,11 @@ class EpochResult:
     wall_ms: int = 0
     snapshot_version: int | None = None
     offsets: dict = field(default_factory=dict)
+    # per-model maintenance wall (ms), keyed by model name — wall_ms
+    # above covers ONLY the bronze apply; the model DAG runs after the
+    # bronze finalize, so scaling/soak harnesses need it separately to
+    # attribute non-scaling components (see tools/bench_scaling.py).
+    model_wall_ms: dict = field(default_factory=dict)
 
 
 class CdcEngine:
@@ -230,25 +235,32 @@ class CdcEngine:
         ]
         return T.StructType(fields)
 
-    def _apply_silver(self, staged: DataFrame, epoch: int) -> None:
+    def _apply_silver(self, staged: DataFrame, epoch: int) -> dict[str, int]:
         """Walk the model DAG (already topo-ordered): root models feed
         on the bronze staged delta; a chained model feeds on its
         parent's ``epoch_delta`` — a pure function of the parent's own
         input, so recovery replays the WHOLE chain from the one
         retained bronze delta (already-committed ancestors just skip
-        their merge while their delta is still recomputable)."""
+        their merge while their delta is still recomputable).
+
+        Returns per-model wall (ms) so callers can attribute epoch time
+        between the bronze apply and each model's maintenance."""
         deltas: dict[int, DataFrame] = {}
         needed = {
             id(m.parent)
             for m in self.silver_models
             if getattr(m, "parent", None) is not None
         }
+        walls: dict[str, int] = {}
         for model in self.silver_models:
             parent = getattr(model, "parent", None)
             inp = staged if parent is None else deltas[id(parent)]
+            t0 = time.monotonic()
             model.apply_epoch(inp, epoch)
+            walls[model.name] = int((time.monotonic() - t0) * 1000)
             if id(model) in needed:
                 deltas[id(model)] = model.epoch_delta(inp, epoch)
+        return walls
 
     def _check_silver_current(self) -> None:
         """Refuse to tail forward past a model that is behind with its
@@ -516,13 +528,14 @@ class CdcEngine:
         # (no extra pass over the slice); the staging dir survives
         # until every model has committed the epoch so a crash here
         # replays through _recover_silver.
-        self._apply_silver(staged, epoch)
+        model_walls = self._apply_silver(staged, epoch)
         shutil.rmtree(staging_dir, ignore_errors=True)
         return EpochResult(
             epoch=epoch, skipped=res.skipped, rows_read=rows_read,
             rows_upserted=n_up, rows_deleted=n_del,
             bytes_written=res.bytes_written, wall_ms=wall_ms,
             snapshot_version=res.version, offsets=offsets,
+            model_wall_ms=model_walls,
         )
 
     # ---------------- the tail loop ----------------

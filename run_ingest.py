@@ -229,6 +229,17 @@ def main() -> int:
         }
         if models:
             out["model_rows"] = {m.name: m.table.read().count() for m in models}
+            # per-model maintenance walls (the bronze-only epoch_walls
+            # above deliberately exclude these) — what the scaling
+            # harness needs to attribute non-scaling components
+            out["model_epoch_walls_sec"] = {
+                m.name: [round(r.model_wall_ms.get(m.name, 0) / 1000, 3) for r in results]
+                for m in models
+            }
+            out["model_wall_sec"] = {
+                m.name: round(sum(r.model_wall_ms.get(m.name, 0) for r in results) / 1000, 3)
+                for m in models
+            }
         print(json.dumps(out), flush=True)
         return 0
     finally:
