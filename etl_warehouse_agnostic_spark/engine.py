@@ -170,6 +170,14 @@ class CdcEngine:
         # epoch, logged in bootstrap_log.
         self.bootstrap_if_behind = bootstrap_if_behind
         self.bootstrap_log: list[dict] = []
+        # Staged epoch deltas are written once and read back at most
+        # twice (merge + silver replay) before deletion — a light codec
+        # there trades ephemeral bytes for CPU; the table's at-rest
+        # files keep the session default (zstd). Overridable for
+        # deployments where staging lands on slow/expensive storage.
+        self.staging_compression: str | None = os.environ.get(
+            "SPARK_GRAFT_STAGING_CODEC", "snappy"
+        )
 
     # ---------------- recovery (T2) ----------------
 
@@ -459,6 +467,7 @@ class CdcEngine:
         _, observed, _ = self.table.write_bucketed(
             projected, staging_dir,
             extra_metrics={"n_del": F.sum(F.when(F.col("op") == "D", 1).otherwise(0))},
+            compression=self.staging_compression,
         )
         n_del = observed.get("n_del", 0)
         n_up = observed["rows"] - n_del
@@ -516,6 +525,10 @@ class CdcEngine:
             payload, delete_keys, epoch_id=epoch,
             extra_summary={"manifest": manifest},
             affected_buckets=affected,
+            # Exact delta size from the staging write's Observation lets
+            # the merge broadcast the changed-key set (anti-join build
+            # side) instead of shuffling the survivors scan by key.
+            changed_rows=observed["rows"],
         )
 
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -760,15 +773,16 @@ class CdcEngine:
             if (added and self.arrow_projection)
             else project_columns(deduped, schema, keep=envelope)
         )
-        if self.silver_models:
-            # The warehouse path has no staged-delta files to reuse, so
-            # each attached model would otherwise recompute the slice +
-            # dedup from source. Materialize the deduped delta once
-            # (epoch-bounded); the warehouse merge and every model then
-            # read the same cached partitions. On a cluster a lost
-            # checkpoint partition fails the epoch, which simply
-            # replays — same at-least-once retry story as any task.
-            projected = projected.localCheckpoint()
+        # The warehouse path has no staged-delta files to reuse, so the
+        # upsert export, the delete-key export, and each attached model
+        # would otherwise EACH recompute the slice + dedup from source
+        # (round-7 profile: the bare loop paid the dedup twice — once
+        # per split_ops side). Materialize the deduped delta once
+        # (epoch-bounded); every consumer then reads the same cached
+        # partitions. On a cluster a lost checkpoint partition fails
+        # the epoch, which simply replays — same at-least-once retry
+        # story as any task.
+        projected = projected.localCheckpoint()
         upserts, deletes = split_ops(projected)
         if lsn_range is None:
             row = changes.agg(F.min("lsn"), F.max("lsn")).first()

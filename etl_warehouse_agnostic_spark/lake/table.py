@@ -116,6 +116,16 @@ class LakeTable:
         # inverse (bin-packs the fragments the splitting leaves behind
         # in rarely-touched buckets).
         self.max_records_per_file: int | None = None
+        # MERGE anti-join build side: when the caller KNOWS the changed
+        # key count (the engine reads it off the staging write's
+        # Observation) and it is under this bound, the key set is
+        # broadcast so the survivors scan is never shuffled by key —
+        # the guide-§3.1 "broadcast the side you know is small" call
+        # the planner cannot make from size estimates alone. ~4M keys
+        # ≈ low hundreds of MB built, fine for executors with tens of
+        # GB; larger deltas fall back to the shuffled plan (AQE may
+        # still localize it).
+        self.broadcast_changed_keys_max_rows: int = 4_000_000
 
     # ---------------- snapshot bookkeeping ----------------
 
@@ -286,11 +296,18 @@ class LakeTable:
         df: DataFrame,
         out_dir: str,
         extra_metrics: dict[str, F.Column] | None = None,
+        compression: str | None = None,
     ) -> tuple[dict[str, list[str]], dict[str, int], int]:
         """Write df (must carry _bucket) under out_dir, one file set per
         bucket via partitionBy; returns (bucket->relpaths, observed
         metrics incl. 'rows', bytes). Metrics come from an Observation
-        attached to the write — no extra pass over the data."""
+        attached to the write — no extra pass over the data.
+
+        ``compression`` overrides the session parquet codec for THIS
+        write only (used for ephemeral staging deltas, which are
+        written once, read back once or twice and deleted — a cheap
+        codec there is pure CPU savings; table-at-rest files keep the
+        session default zstd)."""
         obs = Observation(f"write-{os.path.basename(out_dir)}-{uuid.uuid4().hex[:6]}")
         metrics = {"rows": F.count(F.lit(1)).alias("rows")}
         for k, v in (extra_metrics or {}).items():
@@ -317,6 +334,8 @@ class LakeTable:
         )
         if self.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
+        if compression:
+            writer = writer.option("compression", compression)
         writer.parquet(out_dir)
         try:
             observed = {k: int(v or 0) for k, v in obs.get.items()}
@@ -666,6 +685,7 @@ class LakeTable:
         epoch_id: int | None = None,
         extra_summary: dict | None = None,
         affected_buckets: list[int] | None = None,
+        changed_rows: int | None = None,
         max_retries: int = 3,
     ) -> MergeResult:
         """Copy-on-write MERGE: last-writer-wins upsert + tombstone
@@ -699,7 +719,8 @@ class LakeTable:
         for _attempt in range(max_retries + 1):
             try:
                 return self._merge_attempt(
-                    upserts, delete_keys, epoch_id, extra_summary, affected_buckets
+                    upserts, delete_keys, epoch_id, extra_summary,
+                    affected_buckets, changed_rows,
                 )
             except CommitConflict as e:
                 last_exc = e
@@ -715,6 +736,7 @@ class LakeTable:
         epoch_id: int | None,
         extra_summary: dict | None,
         affected_buckets: list[int] | None,
+        changed_rows: int | None = None,
     ) -> MergeResult:
         cur = self.snapshot()
         if epoch_id is not None and epoch_id in cur.get("committed_epochs", []):
@@ -723,11 +745,13 @@ class LakeTable:
         keys = cur["key_cols"]
 
         up = self._with_bucket(self._align(upserts, schema))
+        # No dropDuplicates: LEFT ANTI ignores right-side duplicates,
+        # and the census below distincts for itself — the dedup here
+        # was one whole extra Exchange of the key set per epoch.
         changed_keys = up.select(*keys, _BUCKET)
         if delete_keys is not None:
             dk = self._with_bucket(delete_keys).select(*keys, _BUCKET)
             changed_keys = changed_keys.unionByName(dk)
-        changed_keys = changed_keys.dropDuplicates(keys)
 
         # Affected-bucket census — tiny (≤ num_buckets rows) collect,
         # or precomputed by the caller (the engine folds it into its
@@ -747,9 +771,14 @@ class LakeTable:
 
         current = self._read_files(cur, buckets=affected)
         # Survivors: existing rows in affected buckets whose key was not
-        # touched this epoch (anti = NOT EXISTS; AQE picks the physical
-        # join, broadcast when the key set is small).
-        survivors = current.join(changed_keys.select(*keys), on=keys, how="left_anti")
+        # touched this epoch (anti = NOT EXISTS). When the caller knows
+        # the delta is small (changed_rows from the staging write's
+        # Observation), broadcast the key set so the survivors scan is
+        # never shuffled; otherwise leave the strategy to AQE.
+        anti_keys = changed_keys.select(*keys)
+        if changed_rows is not None and changed_rows <= self.broadcast_changed_keys_max_rows:
+            anti_keys = F.broadcast(anti_keys)
+        survivors = current.join(anti_keys, on=keys, how="left_anti")
         new_data = survivors.unionByName(up)
 
         tag = f"e{cur['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"

@@ -9,13 +9,18 @@ the engine-level ReplacingMergeTree LWW
 
 Two physical strategies, identical results:
 
-- ``lww_dedup_window`` (default): salted repartition + row_number
-  window. The explicit repartition on (key, salt) pre-spreads hot
-  composite keys; Spark ≥3.5's WindowGroupLimit rule then runs a
-  *Partial* top-1-per-key inside each salted partition before the
-  key shuffle and a *Final* pass after (visible in ``.explain``), so
-  the shuffle carries only per-(partition, key) winners — partial-agg
-  pushdown for free, which is why this variant wins benchmarks.
+- ``lww_dedup_window`` (default): row_number window, skew-safe via
+  Spark ≥3.5's WindowGroupLimit rule: a *Partial* top-1-per-key pass
+  runs inside each SCAN partition before the key shuffle and a *Final*
+  pass after (visible in ``.explain``), so the exchange carries only
+  per-(partition, key) winners — partial-agg pushdown for free, and a
+  hot key's rows collapse to ≤1 per upstream partition before they
+  ever meet. (Earlier rounds added an explicit pre-``repartition`` on
+  (key, salt) ahead of the window; round-7 plan audit showed it as a
+  second full-slice Exchange that buys nothing — the salt is a pure
+  function of the key, and the Partial WindowGroupLimit already
+  bounds per-key fan-in on any input partitioning — so it was removed
+  per guide §2.4; results are identical, one Exchange fewer.)
 - ``lww_dedup_salted``: explicit two-phase ``max_by`` aggregation —
   a combine per (key, salt) then a final per key. Same asymptotics as
   the window plan; kept as the engine-independent formulation and for
@@ -69,20 +74,20 @@ def lww_dedup_window(
     shuffle_partitions: int | None = None,
     nulls_last: bool = False,
 ) -> DataFrame:
-    """Window-based LWW: salted repartition, then row_number()==1.
+    """Window-based LWW: row_number()==1 per key, one Exchange.
 
-    The salt participates only in the *repartition* (physical spread);
-    the window itself partitions by the natural key, so correctness is
-    independent of the salt (tested: salted == unsalted).
+    ``num_salts`` / ``shuffle_partitions`` are accepted for API
+    compatibility (results never depended on them — tested: salted ==
+    unsalted); skew safety comes from the Partial WindowGroupLimit
+    that collapses every key to ≤1 row per upstream partition before
+    the single key Exchange.
     """
-    salted = df.withColumn("_salt", salt_of(*keys, num_salts=num_salts))
-    n = shuffle_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    salted = salted.repartition(int(n), *[F.col(k) for k in keys], F.col("_salt"))
+    del num_salts, shuffle_partitions  # see docstring
     w = Window.partitionBy(*keys).orderBy(_order_struct(df, order_by, nulls_last).desc())
     return (
-        salted.withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn", "_salt")
+        .drop("_rn")
     )
 
 
