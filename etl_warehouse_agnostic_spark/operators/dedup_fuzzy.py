@@ -45,7 +45,15 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _pair_jaccard(shingles: DataFrame, id_col: str) -> DataFrame:
-    """(a, b, jaccard) for all doc pairs sharing ≥1 shingle; a < b."""
+    """(a, b, jaccard) for all doc pairs sharing ≥1 shingle; a < b.
+
+    The shingle table feeds THREE plan branches (sizes, left, right);
+    Spark does not share subtrees across join branches, so without
+    materialization the scan + normalize + explode runs three times.
+    One eager localCheckpoint (memory-and-disk) makes it one pass —
+    the standard 'stage the inverted index once' shape of an LSH job.
+    """
+    shingles = shingles.localCheckpoint()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     left = shingles.select(F.col(id_col).alias("a"), "shingle")
     right = shingles.select(F.col(id_col).alias("b"), "shingle")
@@ -127,7 +135,12 @@ def minhash_lsh_candidates(
     exact-Jaccard verify ≥ verify_threshold. Output (a, b, jaccard).
     """
     rows_per_band = num_hashes // bands
-    sh = word_shingles(df, id_col, text_col, n)
+    # The shingle table feeds four branches (signatures, sizes, and
+    # both sides of the verify join); materialize it once instead of
+    # re-running scan + normalize + explode per branch (~30% of the
+    # operator wall at bench scale; see _pair_jaccard for the scale
+    # rationale).
+    sh = word_shingles(df, id_col, text_col, n).localCheckpoint()
     wide = minhash_signatures_wide(sh, id_col, num_hashes)
     # Band buckets straight from the wide signature — a narrow
     # explode of `bands` structs per doc; no (id, seed) or (id, band)

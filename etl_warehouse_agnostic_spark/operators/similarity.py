@@ -142,11 +142,17 @@ def blocked_assignment(
     )
     scored = corp.join(F.broadcast(c)).select(id_col, vec_col, "centroid_id", csim.alias("_cs"))
     w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("centroid_id"))
+    # Materialize the assignment once: it feeds the cell-size census
+    # AND both sides of the within-cell pair join downstream — three
+    # recomputations of the scoring join + ranking window without this
+    # (Spark shares no subtrees across join branches). An IVF index is
+    # materialized before probing in any real ANN build; memory-and-
+    # disk storage keeps it safe at corpus scale.
     assigned = (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= nprobe)
         .select(id_col, vec_col, "centroid_id")
-    )
+    ).localCheckpoint()
     if max_cell_size is None:
         return assigned.select(id_col, vec_col, "centroid_id", F.lit(0).cast("long").alias("_blk"))
     # tiny census (≤ num_centroids rows) → per-cell split depth
