@@ -450,6 +450,23 @@ class LakeTable:
         self._commit(snap)
         return T.StructType.fromJson(snap["schema"])
 
+    def record_epochs(self, epoch_ids: list[int]) -> int | None:
+        """Metadata-only commit marking epochs as committed WITHOUT any
+        data change — for a bootstrap that already covers their content
+        (a full refresh stamped with the last finalized epoch also
+        contains every earlier epoch's rows; replaying a retained
+        staged delta on top would double-apply it). Returns the new
+        snapshot version, or None if nothing new to record."""
+        cur = self.snapshot()
+        have = set(cur.get("committed_epochs", []))
+        new = sorted(e for e in set(epoch_ids) if e not in have)
+        if not new:
+            return None
+        snap = self._next_snapshot(cur, "record-epochs")
+        snap["committed_epochs"].extend(new)
+        snap["summary"].update({"recorded_epochs": new})
+        return self._commit(snap)
+
     def overwrite(self, df: DataFrame, epoch_id: int | None = None) -> MergeResult:
         """Full snapshot replace (bootstrap / full refresh — reference
         analog extractors/google_sheets/extractor.py:370-377). Same

@@ -670,6 +670,14 @@ class SilverModel:
             raise ValueError(
                 f"silver model {self.name!r}: transform dropped key column(s) {missing}"
             )
+        if "_bucket" in out.columns:
+            # '_bucket' is the SOURCE table's physical-layout metadata
+            # (its modulus); letting a pass-through transform leak it
+            # into a chained model's input would silently mis-prune the
+            # child's pre-epoch snapshot reads (and delete rows carry
+            # no bucket at all). Children recompute bucketing from
+            # their own source's spec.
+            out = out.drop("_bucket")
         dels = deletes.select(*self.table.key_cols).withColumn("op", F.lit("D"))
         return out.withColumn("op", F.lit("U")).unionByName(
             dels, allowMissingColumns=True
