@@ -83,7 +83,11 @@ def _export_delta(df: DataFrame, schema: T.StructType, out_dir: str) -> list[str
     as parquet (on a cluster: shared/object storage) and returns the
     data files. The driver never materializes a row."""
     cols = [f.name for f in schema.fields if f.name in df.columns]
-    df.select(*cols).write.mode("overwrite").parquet(out_dir)
+    # Ephemeral hand-off files (written once, ingested once, deleted):
+    # a light codec is pure CPU savings over the session's at-rest zstd.
+    df.select(*cols).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).parquet(out_dir)
     return sorted(
         os.path.join(out_dir, f)
         for f in os.listdir(out_dir)

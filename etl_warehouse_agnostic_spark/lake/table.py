@@ -786,17 +786,24 @@ class LakeTable:
             v = self._commit(snap)
             return MergeResult(v, epoch_id, 0, 0, 0)
 
-        current = self._read_files(cur, buckets=affected)
-        # Survivors: existing rows in affected buckets whose key was not
-        # touched this epoch (anti = NOT EXISTS). When the caller knows
-        # the delta is small (changed_rows from the staging write's
-        # Observation), broadcast the key set so the survivors scan is
-        # never shuffled; otherwise leave the strategy to AQE.
-        anti_keys = changed_keys.select(*keys)
-        if changed_rows is not None and changed_rows <= self.broadcast_changed_keys_max_rows:
-            anti_keys = F.broadcast(anti_keys)
-        survivors = current.join(anti_keys, on=keys, how="left_anti")
-        new_data = survivors.unionByName(up)
+        if not any(cur["files"].get(str(b)) for b in affected):
+            # Initial load / all-new buckets: no existing rows to
+            # survive, so skip the anti-join (and its changed-key
+            # broadcast build) entirely.
+            new_data = up
+        else:
+            current = self._read_files(cur, buckets=affected)
+            # Survivors: existing rows in affected buckets whose key was
+            # not touched this epoch (anti = NOT EXISTS). When the
+            # caller knows the delta is small (changed_rows from the
+            # staging write's Observation), broadcast the key set so the
+            # survivors scan is never shuffled; otherwise leave the
+            # strategy to AQE.
+            anti_keys = changed_keys.select(*keys)
+            if changed_rows is not None and changed_rows <= self.broadcast_changed_keys_max_rows:
+                anti_keys = F.broadcast(anti_keys)
+            survivors = current.join(anti_keys, on=keys, how="left_anti")
+            new_data = survivors.unionByName(up)
 
         tag = f"e{cur['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"
         files, rows, nbytes = self._write_epoch_files(new_data, tag)

@@ -68,6 +68,8 @@ def _prewarm(spark: SparkSession, parallelism: int) -> None:
             .write.mode("overwrite").option("compression", "zstd")
             .parquet(tmp + "-m")
         )
+        # and the zstd DECODE path (table reads)
+        spark.read.parquet(tmp + "-m").write.mode("overwrite").format("noop").save()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(tmp + "-m", ignore_errors=True)
