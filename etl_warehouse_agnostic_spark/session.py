@@ -38,7 +38,9 @@ def _prewarm(spark: SparkSession, parallelism: int) -> None:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    n = 25_000 * max(4, parallelism)  # enough per-core iterations to JIT
+    # enough per-core iterations to JIT; SPARK_GRAFT_PREWARM_ROWS
+    # overrides the per-core row count for slower/faster hosts
+    n = int(os.environ.get("SPARK_GRAFT_PREWARM_ROWS", "25000")) * max(4, parallelism)
     df = spark.range(n).select(
         F.concat(F.lit("k"), F.pmod("id", n // 8).cast("string")).alias("k"),
         (F.col("id") % 16).cast("int").alias("i"),
