@@ -341,23 +341,35 @@ class DuckBackend:
             self._con.execute("BEGIN TRANSACTION")
             try:
                 rows = 0
-                # delete_keys are applied BEFORE the upsert insert so a
-                # key present in both nets to the upsert surviving —
+                # Delete keys and upsert keys are removed in ONE pass
+                # over the target (UNION ALL of both key sets — DELETE
+                # USING has semi-join semantics, so duplicate matches
+                # are harmless). All deletes land BEFORE the insert, so
+                # a key present in both nets to the upsert surviving —
                 # the same resolution LakeTable._merge_attempt gives
                 # (the engine's split_ops never overlaps keys; direct
-                # callers may).
+                # callers may). Two separate DELETEs were two full
+                # target scans per epoch.
                 if dk_files:
                     self._con.execute(
                         "CREATE OR REPLACE TEMP VIEW _dkeys AS SELECT * "
                         f"FROM read_parquet({_duck_files_literal(dk_files)})"
                     )
-                    self._con.execute(f"DELETE FROM {t} USING _dkeys d WHERE {key_eq}")
                 if up_files:
                     self._con.execute(
                         "CREATE OR REPLACE TEMP VIEW _delta AS SELECT * "
                         f"FROM read_parquet({_duck_files_literal(up_files)})"
                     )
-                    self._con.execute(f"DELETE FROM {t} USING _delta d WHERE {key_eq}")
+                keys_sel = ", ".join(f'"{k}"' for k in self._keys)
+                del_parts = (
+                    [f"SELECT {keys_sel} FROM _delta"] if up_files else []
+                ) + ([f"SELECT {keys_sel} FROM _dkeys"] if dk_files else [])
+                if del_parts:
+                    self._con.execute(
+                        f"DELETE FROM {t} USING ({' UNION ALL '.join(del_parts)}) d "
+                        f"WHERE {key_eq}"
+                    )
+                if up_files:
                     cols = [
                         r[0] for r in
                         self._con.execute("DESCRIBE _delta").fetchall()
