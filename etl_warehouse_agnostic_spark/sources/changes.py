@@ -16,6 +16,8 @@ makes replay safe.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,8 +43,65 @@ class ChangeStreamSource:
         return self.spark.read.parquet(self.path)
 
     def max_lsn(self) -> int:
+        if self.path is not None:
+            v = self._max_lsn_from_footers()
+            if v is not None:
+                return v
         row = self.frame().agg(F.max(self.lsn_col)).first()
         return int(row[0]) if row and row[0] is not None else 0
+
+    def _max_lsn_from_footers(self) -> int | None:
+        """Exact max(lsn) from parquet footer statistics — driver-side
+        metadata only, O(files), no Spark job (the same footer-stats
+        pattern as the engine's per-bucket offset lineage). Parquet
+        min/max stats are exact for integer columns, so this is the
+        aggregation's result, not an estimate. Returns None — caller
+        falls back to the scan aggregation — whenever any row group
+        lacks usable stats (missing column, non-integer type, all-null
+        group, foreign writer without stats)."""
+        import pyarrow.parquet as pq
+
+        best: int | None = None
+        try:
+            files = []
+            for root, _, fns in os.walk(self.path):
+                files += [os.path.join(root, f) for f in fns if f.endswith(".parquet")]
+            if not files and self.path.endswith(".parquet") and os.path.isfile(self.path):
+                files = [self.path]
+            if not files:
+                return None
+            for fp in files:
+                md = pq.ParquetFile(fp).metadata
+                # leaf-column index by path (arrow field index shifts
+                # when nested columns precede the cursor)
+                ci = next(
+                    (
+                        i
+                        for i in range(md.num_columns)
+                        if md.row_group(0).column(i).path_in_schema == self.lsn_col
+                    ),
+                    None,
+                ) if md.num_row_groups else None
+                if md.num_row_groups == 0:
+                    continue
+                if ci is None:
+                    return None
+                for rg in range(md.num_row_groups):
+                    group = md.row_group(rg)
+                    st = group.column(ci).statistics
+                    if st is None:
+                        return None
+                    if not st.has_min_max:
+                        if st.null_count == group.num_rows:
+                            continue  # all-null group: nothing to contribute
+                        return None
+                    v = st.max
+                    if not isinstance(v, int) or isinstance(v, bool):
+                        return None
+                    best = v if best is None else max(best, v)
+        except Exception:
+            return None
+        return best
 
     def read_slice(self, lo_exclusive: int, hi_inclusive: int, lookback: int = 0) -> DataFrame:
         """Events with lo-lookback < lsn <= hi (filter pushed to scan)."""

@@ -146,6 +146,37 @@ def test_epoch_delta_drops_source_bucket_metadata(spark, tmpdir_path):
     assert buckets == sorted(set(buckets)) and all(0 <= b < 2 for b in buckets)
 
 
+def test_max_lsn_footer_stats_match_scan(spark, tmpdir_path):
+    """Path-backed ``max_lsn`` answers from parquet footer statistics
+    (metadata-only, no Spark job) and must equal the scan aggregation
+    exactly; df-backed sources and stat-less inputs fall back to the
+    scan."""
+    p = os.path.join(tmpdir_path, "chg.parquet")
+    chg = generate_changes(spark, 5000, n_convs=30, turns_per_conv=8, seed=47)
+    chg.write.mode("overwrite").parquet(p)
+
+    src = ChangeStreamSource(spark, path=p)
+    scan_max = int(src.frame().agg(F.max("lsn")).first()[0])
+    assert src._max_lsn_from_footers() == scan_max
+    assert src.max_lsn() == scan_max
+
+    # df-backed: no path → scan fallback (and it honours the filter)
+    src_df = ChangeStreamSource(spark, df=src.frame().where(F.col("lsn") <= 123))
+    assert src_df.max_lsn() == 123
+
+    # missing cursor column in the footers → None → scan fallback
+    assert ChangeStreamSource(spark, path=p, lsn_col="nope")._max_lsn_from_footers() is None
+
+    # all-null cursor → footer stats carry no max → scan fallback (0)
+    np = os.path.join(tmpdir_path, "nulls.parquet")
+    spark.range(10).select(
+        F.lit(None).cast("long").alias("lsn"), "id"
+    ).write.mode("overwrite").parquet(np)
+    src_null = ChangeStreamSource(spark, path=np)
+    assert src_null._max_lsn_from_footers() is None
+    assert src_null.max_lsn() == 0
+
+
 def test_maintenance_does_not_refire_without_new_epochs(spark, tmpdir_path):
     chg = generate_changes(spark, 2000, n_convs=20, turns_per_conv=8, seed=46).localCheckpoint()
     bronze = LakeTable.create(
