@@ -253,22 +253,60 @@ class CdcEngine:
         their merge while their delta is still recomputable).
 
         Returns per-model wall (ms) so callers can attribute epoch time
-        between the bronze apply and each model's maintenance."""
-        deltas: dict[int, DataFrame] = {}
+        between the bronze apply and each model's maintenance.
+
+        Independent chains run CONCURRENTLY (guide §2.6: Spark happily
+        schedules several jobs at once; a chain's tail tasks leave
+        cores idle that another chain's jobs back-fill). Chains are
+        the connected components of the parent forest — models inside
+        a chain stay strictly ordered (a child needs its parent's
+        delta), but e.g. a bronze-fed day rollup has no ordering
+        relation to a silver→gold chain and used to serialize behind
+        it for no reason. Each model commits to its OWN table, so
+        results are independent of inter-chain ordering, and the crash
+        contract is unchanged: the epoch finalizes only after every
+        chain returns, and a failure anywhere leaves it un-finalized —
+        recovery replays, already-committed models skip via their
+        ledgers exactly as in the sequential walk."""
         needed = {
             id(m.parent)
             for m in self.silver_models
             if getattr(m, "parent", None) is not None
         }
+        # connected components of the parent forest, in topo order
+        # (silver_models is globally topo-sorted, so a parent is always
+        # seen before its children)
+        chains: dict[int, list] = {}
+        root_of: dict[int, int] = {}
+        for m in self.silver_models:
+            parent = getattr(m, "parent", None)
+            root = root_of[id(parent)] if parent is not None else id(m)
+            root_of[id(m)] = root
+            chains.setdefault(root, []).append(m)
         walls: dict[str, int] = {}
-        for model in self.silver_models:
-            parent = getattr(model, "parent", None)
-            inp = staged if parent is None else deltas[id(parent)]
-            t0 = time.monotonic()
-            model.apply_epoch(inp, epoch)
-            walls[model.name] = int((time.monotonic() - t0) * 1000)
-            if id(model) in needed:
-                deltas[id(model)] = model.epoch_delta(inp, epoch)
+
+        def run_chain(models: list) -> None:
+            deltas: dict[int, DataFrame] = {}
+            for model in models:
+                parent = getattr(model, "parent", None)
+                inp = staged if parent is None else deltas[id(parent)]
+                t0 = time.monotonic()
+                model.apply_epoch(inp, epoch)
+                walls[model.name] = int((time.monotonic() - t0) * 1000)
+                if id(model) in needed:
+                    deltas[id(model)] = model.epoch_delta(inp, epoch)
+
+        chain_list = list(chains.values())
+        if len(chain_list) <= 1:
+            for chain in chain_list:
+                run_chain(chain)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(chain_list)) as pool:
+                futures = [pool.submit(run_chain, c) for c in chain_list]
+                for f in futures:
+                    f.result()
         return walls
 
     def _check_silver_current(self) -> None:

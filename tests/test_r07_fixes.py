@@ -146,6 +146,55 @@ def test_epoch_delta_drops_source_bucket_metadata(spark, tmpdir_path):
     assert buckets == sorted(set(buckets)) and all(0 <= b < 2 for b in buckets)
 
 
+def test_concurrent_model_chains_match_sequential_truth(spark, tmpdir_path):
+    """_apply_silver runs independent model chains concurrently (a
+    chained silver→gold chain plus a bronze-fed delta rollup). The
+    grouping must keep intra-chain order (child after parent) while
+    inter-chain order stops mattering — every table must equal its
+    from-scratch rebuild, and per-model walls must be reported for
+    every model."""
+    chg = generate_changes(spark, 4000, n_convs=50, turns_per_conv=8, seed=48).localCheckpoint()
+    bronze = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "bronze"), TRANSCRIPTS_SCHEMA_V1, KEY_COLS, num_buckets=4
+    )
+    silver_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "silver"), SILVER_SCHEMA, KEY_COLS, num_buckets=4
+    )
+    gold_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "gold"), GOLD_SCHEMA, ["conv_id"], num_buckets=4
+    )
+    roll_t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "roll"), GOLD_SCHEMA, ["conv_id"], num_buckets=4
+    )
+    silver = SilverModel(
+        silver_t,
+        lambda ups, e: ups.select(
+            "conv_id", "turn_idx", F.length("text").cast("int").alias("text_len")
+        ),
+        name="lens",
+    )
+    # chain 1: silver -> chained gold; chain 2: bronze-fed delta rollup
+    gold = DeltaAggregateModel(
+        gold_t, None, ["conv_id"], {"chars": F.lit(1)}, parent=silver, name="gold"
+    )
+    roll = DeltaAggregateModel(roll_t, bronze, ["conv_id"], {"chars": F.length("text")}, name="roll")
+    eng = CdcEngine(
+        spark, bronze, ManifestStore(os.path.join(tmpdir_path, "ck")),
+        num_salts=4, silver_models=[silver, gold, roll],
+    )
+    results = eng.run(ChangeStreamSource(spark, df=chg), epoch_size=EPOCH_SIZE)
+    assert all(set(r.model_wall_ms) == {"lens", "gold", "roll"} for r in results if not r.skipped)
+    # every table equals its from-scratch truth
+    assert _rows(roll_t) == sorted(tuple(r) for r in roll.aggregate(bronze.read()).collect())
+    want_gold = sorted(
+        tuple(r)
+        for r in gold.aggregate(
+            silver.transform(bronze.read().withColumn("op", F.lit("I")), 0)
+        ).collect()
+    )
+    assert _rows(gold_t) == want_gold and len(want_gold) > 0
+
+
 def test_max_lsn_footer_stats_match_scan(spark, tmpdir_path):
     """Path-backed ``max_lsn`` answers from parquet footer statistics
     (metadata-only, no Spark job) and must equal the scan aggregation
